@@ -1,0 +1,182 @@
+"""Cell-indexed spatial joins — the engine's workhorse operators.
+
+The reference's universal access path is an R-tree bbox join
+(``t.geom && g.geom``, function_resolve_overlap_gap_init.sql:195-199 and
+find_overlap_and_gap-pre.sql:556-585). Spark has no R-trees; the idiomatic
+replacement is: explode each feature to the grid cells its bbox covers, then
+**equi-join on cell_id** — a shuffle/broadcast hash join Catalyst can plan,
+prune, and AQE-skew-split. Every operator here is pure DataFrame built-ins
+(whole-stage codegen; zero Python).
+
+Pair dedup without a distinct(): a candidate pair found in several shared
+cells is emitted only in the canonical cell containing the top-left corner of
+the bbox-intersection — the same "canonical owner" rule the reference uses
+for border lines and faces (min grid id: view_get_left_over_borders.sql:15-28,
+function_resolve_overlap_gap_single_cell.sql:820-831) — so no
+shuffle-for-distinct is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from resolve_overlap_and_gap_spark import grid
+
+
+def points_with_cell(points: DataFrame, res: int, lon: str = "px", lat: str = "py") -> DataFrame:
+    return points.withColumn("cell_id", grid.cell_id_col(F.col(lon), F.col(lat), res))
+
+
+def boxes_with_cells(boxes: DataFrame, res: int) -> DataFrame:
+    """Explode each box to its covering cells (J1 key generation).
+
+    JVM-side sequence()+explode; one output row per (box, cell)."""
+    return boxes.withColumn(
+        "cell_id",
+        F.explode(
+            grid.covering_cells_col(
+                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), res
+            )
+        ),
+    )
+
+
+def point_in_box_join(
+    points: DataFrame,
+    boxes: DataFrame,
+    res: int,
+    broadcast_boxes: bool | None = None,
+) -> DataFrame:
+    """Point-in-polygon join for axis-aligned footprints (J1 + P1/P2).
+
+    Containment is half-open ([min, max)) so a point on a shared edge matches
+    exactly one box edge-neighbor — the determinism requirement of the
+    reference's exact-match outputs (SURVEY.md §2.6 O1).
+
+    Each point has exactly ONE cell at ``res`` while a box covers a set of
+    DISTINCT cells, so the cell equi-join emits each matching pair at most
+    once: no dedup shuffle needed.
+    """
+    p = points_with_cell(points, res)
+    b = boxes_with_cells(boxes, res)
+    if broadcast_boxes:
+        b = F.broadcast(b)
+    return p.join(b, "cell_id").where(
+        (F.col("px") >= F.col("xmin"))
+        & (F.col("px") < F.col("xmax"))
+        & (F.col("py") >= F.col("ymin"))
+        & (F.col("py") < F.col("ymax"))
+    )
+
+
+def _canonical_pair_cell(res: int) -> Column:
+    """Cell of the intersection bbox's min corner — the unique cell in which
+    a candidate pair is reported (canonical-owner dedup, J4/J8 analog)."""
+    ix = F.greatest(F.col("a.xmin"), F.col("b.xmin"))
+    iy = F.greatest(F.col("a.ymin"), F.col("b.ymin"))
+    return grid.cell_id_col(ix, iy, res)
+
+
+def box_overlap_pairs(boxes: DataFrame, res: int, id_col: str = "id") -> DataFrame:
+    """Overlap self-join (J2, find_overlap_and_gap-pre.sql:618-646 semantics
+    on bbox footprints): pairs (a<b) with positive-area intersection, plus
+    the intersection box. One shuffle (cell equi-join); canonical-cell rule
+    dedups pairs found in multiple shared cells."""
+    a = boxes_with_cells(boxes, res).alias("a")
+    b = boxes_with_cells(boxes, res).alias("b")
+    j = (
+        a.join(b, "cell_id")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .where(
+            (F.col("a.xmin") < F.col("b.xmax"))
+            & (F.col("b.xmin") < F.col("a.xmax"))
+            & (F.col("a.ymin") < F.col("b.ymax"))
+            & (F.col("b.ymin") < F.col("a.ymax"))
+        )
+        .where(F.col("cell_id") == _canonical_pair_cell(res))
+    )
+    return j.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.greatest(F.col("a.xmin"), F.col("b.xmin")).alias("ixmin"),
+        F.greatest(F.col("a.ymin"), F.col("b.ymin")).alias("iymin"),
+        F.least(F.col("a.xmax"), F.col("b.xmax")).alias("ixmax"),
+        F.least(F.col("a.ymax"), F.col("b.ymax")).alias("iymax"),
+    )
+
+
+def count_per_cell(points: DataFrame, res: int) -> DataFrame:
+    """A1: feature count per cell (num_polygons analog,
+    function_resolve_overlap_gap_init.sql:195-199). Partial aggregation is
+    map-side (hash agg) before the single shuffle."""
+    return points_with_cell(points, res).groupBy("cell_id").count()
+
+
+def content_balanced_cells(
+    points: DataFrame,
+    base_res: int,
+    max_res: int,
+    max_rows_in_each_cell: int,
+    lon: str = "px",
+    lat: str = "py",
+) -> DataFrame:
+    """Content-balanced grid: refine any cell holding more than
+    ``max_rows_in_each_cell`` points to its children, repeatedly — the exact
+    semantic of cbg_content_based_balanced_grid
+    (find_overlap_and_gap-pre.sql:208-236), with Morton children instead of
+    quadrants. Returns (cell_id, res, n_rows).
+
+    Driver-side loop over resolutions, but each iteration is one distributed
+    aggregation; the loop depth is <= max_res - base_res (log of skew), and
+    only still-oversized cells are re-aggregated.
+    """
+    # count at every resolution once: cheapest formulation is iterative
+    cur = (
+        points.select(grid.cell_id_col(F.col(lon), F.col(lat), base_res).alias("cell_id"))
+        .groupBy("cell_id")
+        .count()
+        .withColumn("res", F.lit(base_res))
+    )
+    done = cur.where((F.col("count") <= max_rows_in_each_cell) | (F.lit(base_res) >= max_res))
+    todo = cur.where((F.col("count") > max_rows_in_each_cell) & (F.lit(base_res) < max_res))
+    results = [done]
+    res = base_res
+    pts = points.select(
+        F.col(lon).alias("px"), F.col(lat).alias("py"),
+        grid.cell_id_col(F.col(lon), F.col(lat), base_res).alias("cell_id"),
+    )
+    while res < max_res:
+        hot = todo.select("cell_id")
+        if hot.isEmpty():
+            break
+        res += 1
+        # keep only points in hot cells, re-key to child resolution
+        pts = (
+            pts.join(F.broadcast(hot), "cell_id")
+            .drop("cell_id")
+            .withColumn("cell_id", grid.cell_id_col(F.col("px"), F.col("py"), res))
+        )
+        cur = pts.groupBy("cell_id").count().withColumn("res", F.lit(res))
+        done = cur.where((F.col("count") <= max_rows_in_each_cell) | (F.lit(res) >= max_res))
+        todo = cur.where((F.col("count") > max_rows_in_each_cell) & (F.lit(res) < max_res))
+        results.append(done)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.withColumnRenamed("count", "n_rows")
+
+
+def assign_to_balanced_cells(points: DataFrame, cells: DataFrame, max_res: int,
+                             lon: str = "px", lat: str = "py") -> DataFrame:
+    """Assign each point to its unique content-balanced cell: key the point at
+    every distinct resolution present in ``cells`` (small dim — broadcast) and
+    semi-join; a point matches exactly one balanced cell because the balanced
+    set is a proper quadtree frontier."""
+    res_list = [r["res"] for r in cells.select("res").distinct().collect()]
+    out = None
+    for r in sorted(res_list):
+        keyed = points.withColumn("cell_id", grid.cell_id_col(F.col(lon), F.col(lat), r))
+        matched = keyed.join(F.broadcast(cells.where(F.col("res") == r).select("cell_id")), "cell_id")
+        out = matched if out is None else out.unionByName(matched)
+    return out

@@ -1,0 +1,147 @@
+"""Deduplication operators over the documents/pages table.
+
+Exact dedup = hash-groupBy (one shuffle, map-side partial agg).
+MinHash / SimHash / n-gram Jaccard use md5-based hashes so the DuckDB oracle
+can reproduce them bit-for-bit (Spark's hash() and DuckDB's hash() differ;
+md5 is the portable common denominator — the production path can swap in
+xxhash64 behind the same API).
+
+The min-id keep rule is the reference's canonical-owner rule
+(view_get_left_over_borders.sql:15-28) applied to duplicate groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from resolve_overlap_and_gap_spark.derive import SPARK, norm_ws_sql
+
+
+def normalize_sql(col: str, dialect: str) -> str:
+    return f"lower({norm_ws_sql(col, dialect)})"
+
+
+def h32_of_sql(expr: str, salt: str, dialect: str) -> str:
+    """32-bit bigint hash of an expression (portable md5 prefix)."""
+    if dialect == SPARK:
+        return f"cast(conv(substr(md5(concat({expr}, '{salt}')),1,8),16,10) as bigint)"
+    return f"(('0x' || substr(md5(concat({expr}, '{salt}')),1,8))::bigint)"
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep min-id per identical normalized text; report group size."""
+    return (
+        docs.selectExpr(
+            f"md5({normalize_sql(text_col, SPARK)}) as text_hash",
+            f"cast({id_col} as bigint) as doc_id",
+        )
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word k-shingles per doc. JVM-side: split -> transform over an
+    index sequence -> explode (no Python)."""
+    norm = normalize_sql(text_col, SPARK)
+    return (
+        docs.selectExpr(
+            f"cast({id_col} as bigint) as doc_id", f"split({norm}, ' ') as toks"
+        )
+        .selectExpr(
+            "doc_id",
+            f"explode(transform(sequence(1, greatest(size(toks)-{k}+1, 1)), "
+            f"i -> array_join(slice(toks, i, {k}), ' '))) as shingle",
+        )
+        .distinct()
+    )
+
+
+def shingles_duckdb_sql(k: int = 3, text_col: str = "text", id_col: str = "doc_id",
+                        table: str = "documents") -> str:
+    """DuckDB rendering of the same shingling (list slice + unnest)."""
+    norm = normalize_sql(text_col, "duckdb")
+    return f"""
+        select distinct cast({id_col} as bigint) as doc_id,
+               array_to_string(t[i:i+{k}-1], ' ') as shingle
+        from (select {id_col}, string_split({norm}, ' ') as t from {table}),
+             unnest(generate_series(1, greatest(length(t)-{k}+1, 1))) as u(i)
+    """
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """MinHash signature per doc: min over shingles of h32(shingle||seed)."""
+    hashes = [
+        F.expr(h32_of_sql("shingle", f":{i}", SPARK)).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    per = sh.select("doc_id", *hashes)
+    aggs = [F.min(f"h{i}").alias(f"mh{i}") for i in range(n_hashes)]
+    return per.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(sig: DataFrame, bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs."""
+    out = None
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols]))
+        banded = sig.select(F.col("doc_id"), key.alias("bucket"))
+        j = (
+            banded.alias("a")
+            .join(banded.alias("b"), "bucket")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+        )
+        out = j if out is None else out.unionByName(j)
+    return out.distinct()
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs sharing >=1 shingle.
+    |A∩B| via shingle equi-join; |A∪B| = |A|+|B|-|A∩B|. Jaccard reported
+    x1e6 floored (portable integer output)."""
+    sh = shingles(docs, k, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a").join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .withColumn(
+            "jaccard_x1e6",
+            F.expr("cast(floor(cast(n_inter as double) / cast(na + nb - n_inter as double) * 1000000.0) as bigint)"),
+        )
+    )
+    return j.where(F.col("jaccard_x1e6") >= int(threshold * 1e6)).select(
+        "id_a", "id_b", "jaccard_x1e6"
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash over word tokens: bit i set iff sum over tokens of
+    ±1 (by bit i of h32(token)) is positive. Portable integer math."""
+    norm = normalize_sql(text_col, SPARK)
+    toks = docs.selectExpr(
+        f"cast({id_col} as bigint) as doc_id",
+        f"explode(split({norm}, ' ')) as tok",
+    ).withColumn("h", F.expr(h32_of_sql("tok", ":sh", SPARK)))
+    aggs = [
+        (2 * F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))) - F.count("*") > 0)
+        .cast("long").alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per = toks.groupBy("doc_id").agg(*aggs)
+    expr = F.lit(0).cast("long")
+    for i in range(bits):
+        expr = expr + F.shiftleft(F.col(f"b{i}"), i)
+    return per.select("doc_id", expr.alias("simhash"))

@@ -1,0 +1,100 @@
+"""k-nearest-neighbor joins (north-rule addition; SURVEY.md §2.3 notes the
+reference has no kNN — required by the graft).
+
+Two implementations with identical results:
+  * ``knn_bruteforce`` — broadcast the (small) query set, score all points,
+    window top-k. The oracle-checkable baseline.
+  * ``knn_cell_ring`` — the scale path: candidates come from grid-cell rings
+    around each query, expanding until the kth distance is provably below the
+    ring guarantee (exact, not approximate). Per-iteration work is one cell
+    equi-join; ring geometry is generated JVM-side (sequence + explode).
+
+Distances are squared planar degrees (the engine's `utm=False` planar mode);
+ties break by neighbor id — the determinism rule (SURVEY.md §2.6 O1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from resolve_overlap_and_gap_spark import grid
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("pid").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def knn_bruteforce(points: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """points: (pid, px, py); queries: (qid, qx, qy). Returns
+    (qid, pid, rank, d2). Excludes self-matches on id equality."""
+    j = points.crossJoin(F.broadcast(queries)).where(F.col("pid") != F.col("qid"))
+    scored = j.withColumn(
+        "d2",
+        (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
+        + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy")),
+    )
+    return _topk(scored, k).select("qid", "pid", "rank", "d2")
+
+
+def _cells_in_rings(queries: DataFrame, res: int, ring: int) -> DataFrame:
+    """(qid, cell_id) for all cells within Chebyshev ring distance <= ring of
+    the query's cell — generated with sequence()+explode, bit-math morton."""
+    n = 1 << res
+    ix, iy = grid.xy_col(F.col("qx"), F.col("qy"), res)
+    q = queries.withColumn("_ix", ix).withColumn("_iy", iy)
+    dx = F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("dx")
+    q = q.select("*", dx)
+    q = q.select("*", F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("dy"))
+    jx = F.pmod(F.col("_ix") + F.col("dx"), F.lit(n))  # wrap lon
+    jy = F.col("_iy") + F.col("dy")
+    q = q.where((jy >= 0) & (jy < n))
+    return q.select(
+        F.col("qid"), F.col("qx"), F.col("qy"),
+        grid.cell_from_xy_col(jx.cast("long"), jy.cast("long"), res).alias("cell_id"),
+    ).dropDuplicates(["qid", "cell_id"])
+
+
+def knn_cell_ring(points: DataFrame, queries: DataFrame, k: int, res: int = 8,
+                  max_ring: int | None = None) -> DataFrame:
+    """Exact kNN by expanding cell rings. A query is finished once its kth
+    candidate distance is <= (ring * min_cell_side)^2 — no closer point can
+    exist outside the searched rings. Unfinished queries double the ring.
+
+    The reference's analog is the content-grid bounded neighbor join; ring
+    expansion replaces its `&&` envelope expansion (SURVEY.md J-table note).
+    """
+    n = 1 << res
+    cell_h = 180.0 / n  # min cell side (degrees)
+    if max_ring is None:
+        max_ring = n  # full sweep upper bound
+    pts = points.withColumn("cell_id", grid.cell_id_col(F.col("px"), F.col("py"), res))
+    pts.cache()
+    remaining = queries
+    ring = 1
+    done_parts: list[DataFrame] = []
+    while ring <= max_ring:
+        cand_cells = _cells_in_rings(remaining, res, ring)
+        j = cand_cells.join(pts, "cell_id").where(F.col("pid") != F.col("qid"))
+        scored = j.withColumn(
+            "d2",
+            (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
+            + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy")),
+        )
+        top = _topk(scored, k).select("qid", "pid", "rank", "d2")
+        guarantee = (ring * cell_h) ** 2
+        stats = top.groupBy("qid").agg(F.max("d2").alias("kth_d2"), F.count("*").alias("n_found"))
+        finished_ids = stats.where((F.col("n_found") >= k) & (F.col("kth_d2") <= guarantee)).select("qid")
+        if ring >= max_ring:
+            finished_ids = stats.select("qid")
+        done_parts.append(top.join(F.broadcast(finished_ids), "qid"))
+        remaining = remaining.join(F.broadcast(finished_ids), "qid", "left_anti")
+        if remaining.isEmpty():
+            break
+        ring *= 2
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out

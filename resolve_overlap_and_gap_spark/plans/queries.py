@@ -1,0 +1,468 @@
+"""Driver-contract query registry.
+
+Each entry couples a Spark implementation (the engine's operators) with a
+DuckDB oracle SQL string. Both sides are rendered from the SAME formula
+builders (derive.py / textstats.py / dedup.py) parameterized by dialect, so
+they cannot drift. Geometry is derived deterministically from table keys
+(derive.py), which makes even the spatial operators oracle-checkable.
+
+Spark queries take (spark, sf_dir) and must alias every output column to the
+same name the oracle uses (driver hash-compares by sorted column name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from resolve_overlap_and_gap_spark import derive, grid
+from resolve_overlap_and_gap_spark.derive import DUCKDB, SPARK
+from resolve_overlap_and_gap_spark.operators import dedup, knn, similarity, textstats
+from resolve_overlap_and_gap_spark.operators.celljoin import (
+    box_overlap_pairs,
+    point_in_box_join,
+)
+
+# ----------------------------------------------------------- shared helpers
+CELL_RES_COUNT = 6      # cell_count resolution
+PIP_RES = 7             # point-in-box join resolution
+OVL_RES = 6             # overlap self-join resolution
+TILE_RES = 7            # tiling resolution
+KNN_K = 5
+KNN_QMOD = 50           # queries = points with id % KNN_QMOD == 0
+COS_QMOD = 25
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _points(spark, sf_dir, table: str, key: str) -> DataFrame:
+    return _read(spark, sf_dir, table).selectExpr(
+        derive.point_select(key, "pid", SPARK)
+    )
+
+
+def _boxes(spark, sf_dir, table: str, key: str, scale: float) -> DataFrame:
+    return _read(spark, sf_dir, table).selectExpr(
+        derive.box_select(key, "bid", SPARK, scale)
+    )
+
+
+def _points_cte_duck(table: str, key: str) -> str:
+    return f"(select {', '.join(derive.point_select(key, 'pid', DUCKDB))} from {table})"
+
+
+def _boxes_cte_duck(table: str, key: str, scale: float) -> str:
+    return f"(select {', '.join(derive.box_select(key, 'bid', DUCKDB, scale))} from {table})"
+
+
+# ------------------------------------------------------------- the queries
+def q_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 count-per-cell (num_polygons analog) over page points."""
+    cell = grid.flat_cell_sql("px", "py", CELL_RES_COUNT)
+    return (
+        _points(spark, sf_dir, "orders", "o_orderkey")
+        .selectExpr(f"{cell} as cell_id")
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def o_cell_count() -> str:
+    cell = grid.flat_cell_sql("px", "py", CELL_RES_COUNT)
+    return f"""
+        select {cell} as cell_id, count(*) as n_points
+        from {_points_cte_duck('orders', 'o_orderkey')}
+        group by 1
+    """
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/P1/P2: point-in-footprint join via covering-cell equi-join."""
+    pts = _points(spark, sf_dir, "orders", "o_orderkey").withColumnRenamed("pid", "point_id")
+    pts = pts.selectExpr("point_id", "px", "py")
+    boxes = _boxes(spark, sf_dir, "part", "p_partkey", 1.0).withColumnRenamed("bid", "box_id")
+    out = point_in_box_join(pts, boxes, PIP_RES, broadcast_boxes=True)
+    return out.select("point_id", "box_id")
+
+
+def o_pip_join() -> str:
+    return f"""
+        select p.pid as point_id, b.bid as box_id
+        from {_points_cte_duck('orders', 'o_orderkey')} p,
+             {_boxes_cte_duck('part', 'p_partkey', 1.0)} b
+        where p.px >= b.xmin and p.px < b.xmax
+          and p.py >= b.ymin and p.py < b.ymax
+    """
+
+
+_AREA_X1E6 = (
+    "cast(floor((least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin)) * "
+    "(least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin)) * 1000000.0) as bigint)"
+)
+
+
+def q_box_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 overlap self-join with canonical-cell pair dedup."""
+    boxes = _boxes(spark, sf_dir, "part", "p_partkey", 0.5)
+    pairs = box_overlap_pairs(boxes, OVL_RES, id_col="bid")
+    return pairs.selectExpr(
+        "id_a",
+        "id_b",
+        "cast(floor((ixmax - ixmin) * (iymax - iymin) * 1000000.0) as bigint) as inter_area_x1e6",
+    )
+
+
+def o_box_overlaps() -> str:
+    b = _boxes_cte_duck("part", "p_partkey", 0.5)
+    return f"""
+        select a.bid as id_a, b.bid as id_b, {_AREA_X1E6} as inter_area_x1e6
+        from {b} a, {b} b
+        where a.bid < b.bid
+          and a.xmin < b.xmax and b.xmin < a.xmax
+          and a.ymin < b.ymax and b.ymin < a.ymax
+    """
+
+
+def _tile_range_exprs(res: int) -> dict[str, str]:
+    n = 1 << res
+    return {
+        "n": str(n),
+        "ix0": f"least(greatest(cast(floor((xmin + 180.0) / 360.0 * {n}.0) as bigint), 0), {n - 1})",
+        "ix1": f"least(greatest(cast(floor((xmax + 180.0) / 360.0 * {n}.0) as bigint), 0), {n - 1})",
+        "iy0": f"least(greatest(cast(floor((ymin + 90.0) / 180.0 * {n}.0) as bigint), 0), {n - 1})",
+        "iy1": f"least(greatest(cast(floor((ymax + 90.0) / 180.0 * {n}.0) as bigint), 0), {n - 1})",
+    }
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector->raster tile assignment (flat tile ids for oracle parity;
+    engine-internal Morton variant in operators/tiling.py)."""
+    r = _tile_range_exprs(TILE_RES)
+    boxes = _boxes(spark, sf_dir, "part", "p_partkey", 0.25)
+    return boxes.selectExpr(
+        "bid",
+        f"explode(flatten(transform(sequence({r['ix0']}, {r['ix1']}), "
+        f"x -> transform(sequence({r['iy0']}, {r['iy1']}), y -> x * {r['n']} + y)))) as tile_id",
+    )
+
+
+def o_tile_assign() -> str:
+    r = _tile_range_exprs(TILE_RES)
+    return f"""
+        with b as (select * from {_boxes_cte_duck('part', 'p_partkey', 0.25)}),
+        rng as (select bid, {r['ix0']} as ix0, {r['ix1']} as ix1,
+                       {r['iy0']} as iy0, {r['iy1']} as iy1 from b)
+        select bid, (x.ix * {r['n']} + y.iy) as tile_id
+        from rng,
+             unnest(generate_series(ix0, ix1)) as x(ix),
+             unnest(generate_series(iy0, iy1)) as y(iy)
+    """
+
+
+def q_tile_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 canonical-owner rule as a rasterization rule: min feature per tile."""
+    return (
+        q_tile_assign(spark, sf_dir)
+        .groupBy("tile_id")
+        .agg(F.min("bid").alias("owner_id"), F.count("*").alias("n_features"))
+    )
+
+
+def o_tile_owner() -> str:
+    return f"""
+        with ta as ({o_tile_assign()})
+        select tile_id, min(bid) as owner_id, count(*) as n_features
+        from ta group by 1
+    """
+
+
+def q_border_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 min-cell ownership: each feature kept only in its min covering tile."""
+    ta = q_tile_assign(spark, sf_dir)
+    return ta.groupBy("bid").agg(F.min("tile_id").alias("owner_tile"))
+
+
+def o_border_owner() -> str:
+    return f"""
+        with ta as ({o_tile_assign()})
+        select bid, min(tile_id) as owner_tile from ta group by 1
+    """
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN: brute-force baseline (broadcast queries + window top-k)."""
+    pts = _points(spark, sf_dir, "orders", "o_orderkey")
+    qs = pts.where(F.col("pid") % KNN_QMOD == 0).selectExpr(
+        "pid as qid", "px as qx", "py as qy"
+    )
+    return knn.knn_bruteforce(pts, qs, KNN_K).select("qid", "pid", "rank")
+
+
+def o_knn() -> str:
+    p = _points_cte_duck("orders", "o_orderkey")
+    return f"""
+        with p as (select * from {p}),
+        q as (select pid as qid, px as qx, py as qy from p where pid % {KNN_QMOD} = 0)
+        select qid, pid, rank from (
+          select q.qid, p.pid,
+                 row_number() over (partition by q.qid order by
+                   (p.px - q.qx) * (p.px - q.qx) + (p.py - q.qy) * (p.py - q.qy) asc,
+                   p.pid asc) as rank
+          from p, q where p.pid <> q.qid
+        ) t where rank <= {KNN_K}
+    """
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id as pid", "transform(embedding, x -> cast(x as double)) as vec"
+    )
+    qs = emb.where(F.col("pid") % COS_QMOD == 0).selectExpr("pid as qid", "vec as qvec")
+    return similarity.cosine_topk_bruteforce(emb, qs, KNN_K).select("qid", "pid", "rank")
+
+
+def o_cosine_topk() -> str:
+    return f"""
+        with e as (select vec_id as pid, embedding::DOUBLE[] as vec from embeddings),
+        q as (select pid as qid, vec as qvec from e where pid % {COS_QMOD} = 0)
+        select qid, pid, rank from (
+          select qid, pid,
+                 row_number() over (partition by qid order by
+                   list_cosine_similarity(vec, qvec) desc, pid asc) as rank
+          from e, q where pid <> qid
+        ) t where rank <= {KNN_K}
+    """
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+def o_dedup_exact() -> str:
+    return f"""
+        select md5({dedup.normalize_sql('text', DUCKDB)}) as text_hash,
+               min(cast(doc_id as bigint)) as keep_id,
+               count(*) as n_dups
+        from documents group by 1
+    """
+
+
+def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_stats(_read(spark, sf_dir, "documents"))
+
+
+def o_quality_stats() -> str:
+    cols = ",\n               ".join(textstats.quality_stats_sql("doc_id", "text", DUCKDB))
+    return f"select {cols} from documents"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_read(spark, sf_dir, "documents"))
+
+
+def o_lang_id() -> str:
+    return (
+        "select cast(doc_id as bigint) as doc_id, "
+        f"{textstats.lang_id_sql('text')} as lang_pred from documents"
+    )
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(_read(spark, sf_dir, "documents"))
+
+
+def o_fingerprints() -> str:
+    return (
+        "select cast(doc_id as bigint) as doc_id, "
+        f"{textstats.fingerprint_sql('text', DUCKDB)} as fp from documents"
+    )
+
+
+N_MINHASH = 8
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup.shingles(_read(spark, sf_dir, "documents"), k=3)
+    return dedup.minhash_signatures(sh, n_hashes=N_MINHASH)
+
+
+def o_minhash_sig() -> str:
+    hashes = ",\n               ".join(
+        f"min({dedup.h32_of_sql('shingle', f':{i}', DUCKDB)}) as mh{i}"
+        for i in range(N_MINHASH)
+    )
+    return f"""
+        with sh as ({dedup.shingles_duckdb_sql(3)})
+        select doc_id, {hashes}
+        from sh group by doc_id
+    """
+
+
+SIMHASH_BITS = 16
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_read(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
+
+
+def o_simhash() -> str:
+    norm = dedup.normalize_sql("text", DUCKDB)
+    h = dedup.h32_of_sql("tok", ":sh", DUCKDB)
+    bits = ",\n               ".join(
+        f"(case when 2 * sum((h >> {i}) & 1) - count(*) > 0 then 1 else 0 end) as b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    total = " + ".join(f"b{i} * {1 << i}" for i in range(SIMHASH_BITS))
+    return f"""
+        with toks as (
+          select cast(doc_id as bigint) as doc_id,
+                 unnest(string_split({norm}, ' ')) as tok
+          from documents),
+        h as (select doc_id, {h} as h from toks),
+        b as (select doc_id, {bits} from h group by doc_id)
+        select doc_id, cast({total} as bigint) as simhash from b
+    """
+
+
+JACCARD_T = 0.2
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), k=3, threshold=JACCARD_T)
+
+
+def o_jaccard_pairs() -> str:
+    return f"""
+        with sh as ({dedup.shingles_duckdb_sql(3)}),
+        sizes as (select doc_id, count(*) as n_sh from sh group by 1),
+        inter as (
+          select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_inter
+          from sh a join sh b using (shingle)
+          where a.doc_id < b.doc_id
+          group by 1, 2)
+        select id_a, id_b,
+               cast(floor(cast(n_inter as double) / cast(sa.n_sh + sb.n_sh - n_inter as double) * 1000000.0) as bigint) as jaccard_x1e6
+        from inter
+        join sizes sa on sa.doc_id = id_a
+        join sizes sb on sb.doc_id = id_b
+        where cast(floor(cast(n_inter as double) / cast(sa.n_sh + sb.n_sh - n_inter as double) * 1000000.0) as bigint) >= {int(JACCARD_T * 1e6)}
+    """
+
+
+def q_cells_outside_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: per coarse group, rank cells outside-in (distance from group
+    centroid, DESC) — function_resolve_overlap_gap_init.sql:204-212, in exact
+    integer math so it is engine-independent."""
+    pts = _points(spark, sf_dir, "orders", "o_orderkey")
+    cell4 = grid.flat_cell_sql("px", "py", 4)
+    cell2 = grid.flat_cell_sql("px", "py", 2)
+    n4 = 1 << 4
+    cells = pts.selectExpr(
+        f"{cell4} as cell_id", f"{cell2} as group_id"
+    ).distinct().selectExpr(
+        "cell_id", "group_id",
+        f"cast(2 * cast(floor(cell_id / {n4}.0) as bigint) + 1 as bigint) as cx",
+        f"cast(2 * (cell_id % {n4}) + 1 as bigint) as cy",
+    )
+    cells.createOrReplaceTempView("_w1_cells")
+    return spark.sql(_w1_rank_sql("_w1_cells"))
+
+
+def _w1_rank_sql(table: str) -> str:
+    """Window ranking shared verbatim by Spark SQL and DuckDB."""
+    return f"""
+        select group_id, cell_id,
+               row_number() over (partition by group_id order by
+                 (cx * cnt - sx) * (cx * cnt - sx) + (cy * cnt - sy) * (cy * cnt - sy) desc,
+                 cell_id asc) as rn
+        from (
+          select group_id, cell_id, cx, cy,
+                 sum(cx) over (partition by group_id) as sx,
+                 sum(cy) over (partition by group_id) as sy,
+                 count(*) over (partition by group_id) as cnt
+          from {table}) t
+    """
+
+
+def o_cells_outside_in() -> str:
+    cell4 = grid.flat_cell_sql("px", "py", 4)
+    cell2 = grid.flat_cell_sql("px", "py", 2)
+    n4 = 1 << 4
+    inner = f"""
+        (select distinct cell_id, group_id,
+                cast(2 * cast(floor(cell_id / {n4}.0) as bigint) + 1 as bigint) as cx,
+                cast(2 * (cell_id % {n4}) + 1 as bigint) as cy
+         from (select {cell4} as cell_id, {cell2} as group_id
+               from {_points_cte_duck('orders', 'o_orderkey')}) raw)
+    """
+    return _w1_rank_sql(inner)
+
+
+def flagship(spark: SparkSession, sf_dir: str, scale: float = 8.0) -> DataFrame:
+    """Flagship pipeline: derive page footprints, overlap self-join (J2) with
+    canonical-cell dedup, then attach each left feature's canonical owner
+    tile (J4/J8). Scale factor widens footprints so even the tiny smoke
+    dataset has overlap structure."""
+    boxes = _boxes(spark, sf_dir, "part", "p_partkey", scale)
+    pairs = box_overlap_pairs(boxes, OVL_RES, id_col="bid")
+    r = _tile_range_exprs(TILE_RES)
+    assign = boxes.selectExpr(
+        "bid",
+        f"explode(flatten(transform(sequence({r['ix0']}, {r['ix1']}), "
+        f"x -> transform(sequence({r['iy0']}, {r['iy1']}), y -> x * {r['n']} + y)))) as tile_id",
+    )
+    owner = assign.groupBy("bid").agg(F.min("tile_id").alias("owner_tile"))
+    return (
+        pairs.selectExpr(
+            "id_a", "id_b",
+            "cast(floor((ixmax - ixmin) * (iymax - iymin) * 1000000.0) as bigint) as inter_area_x1e6",
+        )
+        .join(owner.withColumnRenamed("bid", "id_a"), "id_a", "left")
+    )
+
+
+# ------------------------------------------------------------ the registry
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "cell_count": q_cell_count,
+        "pip_join": q_pip_join,
+        "box_overlaps": q_box_overlaps,
+        "tile_assign": q_tile_assign,
+        "tile_owner": q_tile_owner,
+        "border_owner": q_border_owner,
+        "knn": q_knn,
+        "cosine_topk": q_cosine_topk,
+        "dedup_exact": q_dedup_exact,
+        "quality_stats": q_quality_stats,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "minhash_sig": q_minhash_sig,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "cells_outside_in": q_cells_outside_in,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "cell_count": o_cell_count(),
+        "pip_join": o_pip_join(),
+        "box_overlaps": o_box_overlaps(),
+        "tile_assign": o_tile_assign(),
+        "tile_owner": o_tile_owner(),
+        "border_owner": o_border_owner(),
+        "knn": o_knn(),
+        "cosine_topk": o_cosine_topk(),
+        "dedup_exact": o_dedup_exact(),
+        "quality_stats": o_quality_stats(),
+        "lang_id": o_lang_id(),
+        "fingerprints": o_fingerprints(),
+        "minhash_sig": o_minhash_sig(),
+        "simhash": o_simhash(),
+        "jaccard_pairs": o_jaccard_pairs(),
+        "cells_outside_in": o_cells_outside_in(),
+    }
