@@ -1,0 +1,424 @@
+"""Planar arrangement on a snapped integer grid — the engine's from-scratch
+replacement for PostGIS Topology (SURVEY.md §2.9).
+
+The reference materializes a mutable planar graph (node/edge_data/face
+tables) and inserts lines one at a time with snapping
+(topology.TopoGeo_addLinestring, …utils/function_03_add_border_lines.sql).
+Here the same semantics are computed as a *batch* per cell:
+
+  1. snap all ring coordinates to the tolerance grid (int64) —
+     ST_SnapToGrid analog (view_get_simplified_border_lines…:45-49),
+  2. node all segments (split at crossings/touches, iterated to fixpoint) —
+     TopoGeo_addLinestring's noding,
+  3. build a half-edge structure and walk faces — GetFaceGeometry/polygonize,
+  4. label every face with the *winding vector* of each input polygon by
+     propagating crossing deltas over the face adjacency (plus an exact
+     integer ray-cast to anchor nested components) — topology `relation`
+     layer semantics without any mutable state.
+
+All predicates are exact int64 arithmetic (coords are grid units; with a
+world-wide 1e-5-degree grid, cross products stay < 2^63). Per-cell inputs
+are content-balanced (bounded rows), so the O(n log n)-ish python/numpy here
+runs inside `applyInPandas` on bounded batches.
+
+Coverage rule: a polygon covers a face iff its winding > 0 (exterior rings
+CCW-normalized, holes CW-normalized).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from resolve_overlap_and_gap_spark.geom.core import ring_area2
+
+
+# ------------------------------------------------------------ segments
+def rings_to_segments(polys: list[tuple[int, list[np.ndarray]]]):
+    """polys: [(poly_id, [ring int64 (n,2), ...])] with ring 0 = shell.
+    Returns segment array (m,4) int64 and per-segment (poly_id, weight)
+    where weight=+1 means the stored direction has the polygon's winding
+    orientation (exterior CCW / hole CW)."""
+    segs, pids, wts = [], [], []
+    for pid, rings in polys:
+        for ri, ring in enumerate(rings):
+            r = np.asarray(ring, dtype=np.int64)
+            if len(r) > 1 and (r[0] == r[-1]).all():
+                r = r[:-1]
+            if len(r) < 3:
+                continue
+            a2 = ring_area2(r.astype(np.float64))
+            if a2 == 0:
+                continue
+            want_ccw = ri == 0
+            is_ccw = a2 > 0
+            if want_ccw != is_ccw:
+                r = r[::-1]
+            nxt = np.roll(r, -1, axis=0)
+            keep = (r != nxt).any(axis=1)
+            s = np.hstack([r[keep], nxt[keep]])
+            segs.append(s)
+            pids.extend([pid] * len(s))
+            wts.extend([1] * len(s))
+    if not segs:
+        return np.empty((0, 4), np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+    return (
+        np.vstack(segs),
+        np.asarray(pids, dtype=np.int64),
+        np.asarray(wts, dtype=np.int64),
+    )
+
+
+def _bbox_pairs(S: np.ndarray, chunk: int = 512) -> list[tuple[int, int]]:
+    """Candidate intersecting pairs by bbox overlap (chunked broadcast)."""
+    m = len(S)
+    x1 = np.minimum(S[:, 0], S[:, 2]); x2 = np.maximum(S[:, 0], S[:, 2])
+    y1 = np.minimum(S[:, 1], S[:, 3]); y2 = np.maximum(S[:, 1], S[:, 3])
+    pairs = []
+    for i0 in range(0, m, chunk):
+        i1 = min(i0 + chunk, m)
+        for j0 in range(i0, m, chunk):
+            j1 = min(j0 + chunk, m)
+            ov = (
+                (x1[i0:i1, None] <= x2[None, j0:j1])
+                & (x2[i0:i1, None] >= x1[None, j0:j1])
+                & (y1[i0:i1, None] <= y2[None, j0:j1])
+                & (y2[i0:i1, None] >= y1[None, j0:j1])
+            )
+            ii, jj = np.nonzero(ov)
+            for a, b in zip(ii + i0, jj + j0):
+                if a < b:
+                    pairs.append((int(a), int(b)))
+    return pairs
+
+
+def _cross(ox, oy, ax, ay, bx, by) -> int:
+    return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+
+def _on_segment(px, py, x1, y1, x2, y2) -> bool:
+    """p collinear-with and within bbox of segment (exact)."""
+    if _cross(x1, y1, x2, y2, px, py) != 0:
+        return False
+    return min(x1, x2) <= px <= max(x1, x2) and min(y1, y2) <= py <= max(y1, y2)
+
+
+def node_segments(S: np.ndarray, pid: np.ndarray, wt: np.ndarray, max_iter: int = 8):
+    """Split segments at crossings/touches until fixpoint (snapped noding).
+    Intersection points are rounded to the integer grid (the snap), so a
+    round can create new crossings — hence the fixpoint loop."""
+    S = S.copy(); pid = pid.copy(); wt = wt.copy()
+    for _ in range(max_iter):
+        m = len(S)
+        if m == 0:
+            break
+        splits: dict[int, set[tuple[int, int]]] = defaultdict(set)
+        for a, b in _bbox_pairs(S):
+            ax1, ay1, ax2, ay2 = (int(v) for v in S[a])
+            bx1, by1, bx2, by2 = (int(v) for v in S[b])
+            d1 = _cross(ax1, ay1, ax2, ay2, bx1, by1)
+            d2 = _cross(ax1, ay1, ax2, ay2, bx2, by2)
+            d3 = _cross(bx1, by1, bx2, by2, ax1, ay1)
+            d4 = _cross(bx1, by1, bx2, by2, ax2, ay2)
+            if d1 == 0 and d2 == 0:  # collinear: split at interior endpoints
+                for px, py in ((bx1, by1), (bx2, by2)):
+                    if _on_segment(px, py, ax1, ay1, ax2, ay2) and (px, py) not in ((ax1, ay1), (ax2, ay2)):
+                        splits[a].add((px, py))
+                for px, py in ((ax1, ay1), (ax2, ay2)):
+                    if _on_segment(px, py, bx1, by1, bx2, by2) and (px, py) not in ((bx1, by1), (bx2, by2)):
+                        splits[b].add((px, py))
+                continue
+            if ((d1 > 0) != (d2 > 0) or d1 == 0 or d2 == 0) and (
+                (d3 > 0) != (d4 > 0) or d3 == 0 or d4 == 0
+            ):
+                # touching or proper crossing: compute point, snap to grid
+                if d1 == 0 and _on_segment(bx1, by1, ax1, ay1, ax2, ay2):
+                    px, py = bx1, by1
+                elif d2 == 0 and _on_segment(bx2, by2, ax1, ay1, ax2, ay2):
+                    px, py = bx2, by2
+                elif d3 == 0 and _on_segment(ax1, ay1, bx1, by1, bx2, by2):
+                    px, py = ax1, ay1
+                elif d4 == 0 and _on_segment(ax2, ay2, bx1, by1, bx2, by2):
+                    px, py = ax2, ay2
+                else:
+                    denom = float(d3 - d4)
+                    if denom == 0:
+                        continue
+                    t = d3 / denom
+                    px = int(np.floor(ax1 + t * (ax2 - ax1) + 0.5))
+                    py = int(np.floor(ay1 + t * (ay2 - ay1) + 0.5))
+                if (px, py) not in ((ax1, ay1), (ax2, ay2)):
+                    splits[a].add((px, py))
+                if (px, py) not in ((bx1, by1), (bx2, by2)):
+                    splits[b].add((px, py))
+        if not splits:
+            break
+        newS, newP, newW = [], [], []
+        for i in range(m):
+            x1, y1, x2, y2 = (int(v) for v in S[i])
+            if i in splits:
+                pts = [(x1, y1)] + sorted(
+                    splits[i],
+                    key=lambda p: (abs(p[0] - x1) + abs(p[1] - y1)),
+                ) + [(x2, y2)]
+                for (u1, v1), (u2, v2) in zip(pts[:-1], pts[1:]):
+                    if (u1, v1) != (u2, v2):
+                        newS.append((u1, v1, u2, v2))
+                        newP.append(pid[i]); newW.append(wt[i])
+            else:
+                newS.append((x1, y1, x2, y2))
+                newP.append(pid[i]); newW.append(wt[i])
+        S = np.asarray(newS, dtype=np.int64)
+        pid = np.asarray(newP, dtype=np.int64)
+        wt = np.asarray(newW, dtype=np.int64)
+    return S, pid, wt
+
+
+# ------------------------------------------------------------ half-edge DCEL
+@dataclass
+class Face:
+    shell: np.ndarray                     # (n,2) int64, CCW
+    holes: list[np.ndarray] = field(default_factory=list)  # CW rings
+    winding: dict[int, int] = field(default_factory=dict)  # poly_id -> w
+    area2: int = 0                        # 2x signed area incl. holes
+
+    @property
+    def cover(self) -> frozenset:
+        return frozenset(p for p, w in self.winding.items() if w > 0)
+
+
+class Arrangement:
+    def __init__(self, S, pid, wt):
+        # --- dedup into undirected edges with per-poly net winding deltas
+        edge_net: dict[tuple, dict[int, int]] = {}
+        for i in range(len(S)):
+            x1, y1, x2, y2 = (int(v) for v in S[i])
+            if (x1, y1) <= (x2, y2):
+                key, sgn = (x1, y1, x2, y2), int(wt[i])
+            else:
+                key, sgn = (x2, y2, x1, y1), -int(wt[i])
+            d = edge_net.setdefault(key, {})
+            d[int(pid[i])] = d.get(int(pid[i]), 0) + sgn
+        edges = []
+        self.net = []
+        for key, d in edge_net.items():
+            d = {p: w for p, w in d.items() if w != 0}
+            if d:
+                edges.append(key)
+                self.net.append(d)
+        self.edges = edges  # canonical direction (lexicographic)
+
+        # --- half edges: 2*i = along canonical dir, 2*i+1 = reverse
+        out_at: dict[tuple, list[int]] = defaultdict(list)
+        self.he_from, self.he_to = [], []
+        for i, (x1, y1, x2, y2) in enumerate(edges):
+            self.he_from += [(x1, y1), (x2, y2)]
+            self.he_to += [(x2, y2), (x1, y1)]
+            out_at[(x1, y1)].append(2 * i)
+            out_at[(x2, y2)].append(2 * i + 1)
+        # sort outgoing half-edges CCW by angle
+        self.next_he: dict[int, int] = {}
+        for v, hs in out_at.items():
+            hs.sort(key=lambda h: np.arctan2(self.he_to[h][1] - v[1], self.he_to[h][0] - v[0]))
+        for i in range(len(edges)):
+            for h in (2 * i, 2 * i + 1):
+                v = self.he_to[h]
+                hs = out_at[v]
+                twin = h ^ 1
+                k = hs.index(twin)
+                self.next_he[h] = hs[(k - 1) % len(hs)]
+
+        # --- walks (face boundary cycles)
+        self.walk_of: dict[int, int] = {}
+        self.walks: list[list[int]] = []
+        for h0 in range(2 * len(edges)):
+            if h0 in self.walk_of:
+                continue
+            wid = len(self.walks)
+            cyc, h = [], h0
+            while h not in self.walk_of:
+                self.walk_of[h] = wid
+                cyc.append(h)
+                h = self.next_he[h]
+            self.walks.append(cyc)
+
+        # --- walk signed areas (2x, exact int)
+        self.walk_area2 = []
+        for cyc in self.walks:
+            a2 = 0
+            for h in cyc:
+                (x1, y1), (x2, y2) = self.he_from[h], self.he_to[h]
+                a2 += x1 * y2 - x2 * y1
+            self.walk_area2.append(a2)
+
+    def walk_coords(self, wid: int) -> np.ndarray:
+        return np.asarray([self.he_from[h] for h in self.walks[wid]], dtype=np.int64)
+
+
+def _ray_winding(px: int, py: int, arr: Arrangement, skip_walks: set[int] | None = None,
+                 component_of=None, skip_comp=None) -> dict[int, int]:
+    """Exact winding vector at point p via leftward horizontal ray: sum net
+    deltas of edges crossing the ray (half-open rule y1 <= py < y2)."""
+    w: dict[int, int] = defaultdict(int)
+    for i, (x1, y1, x2, y2) in enumerate(arr.edges):
+        if skip_comp is not None and component_of[i] == skip_comp:
+            continue
+        if y1 == y2:
+            continue
+        # upward = canonical dir goes up; crossing sign per winding convention:
+        # edge crossing the leftward ray going UP means p is to the RIGHT of
+        # the edge direction -> contributes -net? Derive: w(left)=w(right)+net.
+        # Point left of upward edge <=> px < x_at. We count edges with
+        # x_at < px (edge strictly left of p): p is RIGHT of upward edge.
+        if y1 < y2:
+            lo, hi, up = y1, y2, True
+        else:
+            lo, hi, up = y2, y1, False
+        if not (lo <= py < hi):
+            continue
+        # x at y=py on the segment: x1 + (py-y1)*(x2-x1)/(y2-y1) < px ?
+        # exact: compare (py-y1)*(x2-x1) < (px-x1)*(y2-y1) adjusting sign
+        num = (py - y1) * (x2 - x1)
+        den = (y2 - y1)
+        lhs = num
+        rhs = (px - x1) * den
+        crosses_left = lhs < rhs if den > 0 else lhs > rhs
+        if crosses_left:
+            for p, n in arr.net[i].items():
+                # upward edge left of p: p on right side -> subtract when
+                # moving conceptually from left face to p's side
+                w[p] += -n if up else n
+    return dict(w)
+
+
+def label_walks(arr: Arrangement) -> list[dict[int, int]]:
+    """Winding vector per walk via BFS over edge crossings, anchored per
+    connected component by an exact ray-cast at its min node."""
+    n_edges = len(arr.edges)
+    if n_edges == 0:
+        return []
+    # connected components over nodes
+    parent: dict[tuple, tuple] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x1, y1, x2, y2 in arr.edges:
+        for v in ((x1, y1), (x2, y2)):
+            parent.setdefault(v, v)
+    for x1, y1, x2, y2 in arr.edges:
+        a, b = find((x1, y1)), find((x2, y2))
+        if a != b:
+            parent[a] = b
+    comp_of_edge = [find((e[0], e[1])) for e in arr.edges]
+    comps = sorted(set(comp_of_edge), key=lambda c: (c[0], c[1]))
+
+    # min node per component (for anchoring)
+    comp_min: dict[tuple, tuple] = {}
+    for i, (x1, y1, x2, y2) in enumerate(arr.edges):
+        c = comp_of_edge[i]
+        for v in ((x1, y1), (x2, y2)):
+            if c not in comp_min or v < comp_min[c]:
+                comp_min[c] = v
+
+    winding: list[dict[int, int] | None] = [None] * len(arr.walks)
+
+    for c in comps:
+        # anchor: winding at the component's min node, from OTHER components
+        px, py = comp_min[c]
+        base = _ray_winding(px, py, arr, component_of=comp_of_edge, skip_comp=c)
+        # unbounded walk of this component = the one with min signed area
+        walk_ids = sorted(
+            {arr.walk_of[2 * i] for i, cc in enumerate(comp_of_edge) if cc == c}
+            | {arr.walk_of[2 * i + 1] for i, cc in enumerate(comp_of_edge) if cc == c}
+        )
+        root = min(walk_ids, key=lambda wgt: arr.walk_area2[wgt])
+        winding[root] = dict(base)
+        # BFS across edges
+        stack = [root]
+        seen = {root}
+        while stack:
+            wcur = stack.pop()
+            for h in arr.walks[wcur]:
+                eid = h // 2
+                other = arr.walk_of[h ^ 1]
+                if other in seen:
+                    continue
+                seen.add(other)
+                wv = dict(winding[wcur])
+                # face(h-along-canonical) is LEFT of canonical dir:
+                # w(left) = w(right) + net. h even => face(h)=left side.
+                for p, nn in arr.net[eid].items():
+                    if h % 2 == 0:  # cur face is left; other is right
+                        wv[p] = wv.get(p, 0) - nn
+                    else:           # cur face is right; other is left
+                        wv[p] = wv.get(p, 0) + nn
+                winding[other] = {p: v for p, v in wv.items()}
+                stack.append(other)
+    return [w if w is not None else {} for w in winding]
+
+
+def _point_in_walk(px: int, py: int, coords: np.ndarray) -> bool:
+    """Exact even-odd test; boundary counts as inside (for hole->shell
+    assignment of touching rings)."""
+    n = len(coords)
+    inside = False
+    for i in range(n):
+        x1, y1 = int(coords[i][0]), int(coords[i][1])
+        x2, y2 = int(coords[(i + 1) % n][0]), int(coords[(i + 1) % n][1])
+        if _on_segment(px, py, x1, y1, x2, y2):
+            return True
+        if (y1 > py) != (y2 > py):
+            lhs = (py - y1) * (x2 - x1)
+            rhs = (px - x1) * (y2 - y1)
+            if (lhs < rhs) if (y2 - y1) > 0 else (lhs > rhs):
+                inside = not inside
+    return inside
+
+
+def overlay(polys: list[tuple[int, list[np.ndarray]]]) -> list[Face]:
+    """Full overlay: snapped int rings in, labeled faces out."""
+    S, pid, wt = rings_to_segments(polys)
+    if len(S) == 0:
+        return []
+    S, pid, wt = node_segments(S, pid, wt)
+    arr = Arrangement(S, pid, wt)
+    winding = label_walks(arr)
+
+    pos = [i for i, a in enumerate(arr.walk_area2) if a > 0]
+    neg = [i for i, a in enumerate(arr.walk_area2) if a < 0]
+    faces = {i: Face(shell=arr.walk_coords(i), winding=winding[i], area2=arr.walk_area2[i]) for i in pos}
+
+    # assign negative walks as holes of the smallest containing positive walk
+    pos_sorted = sorted(pos, key=lambda i: arr.walk_area2[i])
+    pos_coords = {i: arr.walk_coords(i) for i in pos}
+    pos_bbox = {
+        i: (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
+        for i, c in pos_coords.items()
+    }
+    for h in neg:
+        hc = arr.walk_coords(h)
+        # a vertex of the hole that is NOT on the candidate shell would be
+        # ideal; min node is fine with boundary-counts-as-inside
+        px, py = int(hc[:, 0].min()), 0
+        row = hc[hc[:, 0] == px]
+        py = int(row[:, 1].min())
+        hb = (hc[:, 0].min(), hc[:, 1].min(), hc[:, 0].max(), hc[:, 1].max())
+        for i in pos_sorted:
+            # strict: a ring's own outside walk has |area| == the shell's
+            # and must never become its hole
+            if -arr.walk_area2[h] >= arr.walk_area2[i]:
+                continue
+            bb = pos_bbox[i]
+            if not (bb[0] <= hb[0] and bb[1] <= hb[1] and bb[2] >= hb[2] and bb[3] >= hb[3]):
+                continue
+            if _point_in_walk(px, py, pos_coords[i]):
+                faces[i].holes.append(hc)
+                faces[i].area2 += arr.walk_area2[h]
+                break
+    return list(faces.values())
