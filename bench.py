@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline spatial-join + tiling suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit": "sec",
+"queries": {name: sec}, "sf", plus throughput extras}.
+
+Use bench_scaling.py for the N-vs-4N parallelism scaling evidence
+(BASELINE.md §2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BENCH_QUERIES = [
+    # JVM-side relational/spatial core
+    "cell_count",
+    "pip_join",
+    "box_overlaps",
+    "tile_assign",
+    "tile_owner",
+    "border_owner",
+    "knn",
+    "cells_outside_in",
+    # text / dedup / similarity
+    "dedup_exact",
+    "quality_stats",
+    "lang_id",
+    "fingerprints",
+    "minhash_sig",
+    "simhash",
+    "jaccard_pairs",
+    "cosine_topk",
+    # geometry engine (Arrow-batched arrangement kernels)
+    "detect_polygons",
+    "resolve_polygons",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from resolve_overlap_and_gap_spark.session import get_spark
+
+    spark = get_spark(app_name="rog-bench", parallelism=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    t_all = time.monotonic()
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        rows[name] = qs[name](spark, sf_dir).count()
+        times[name] = round(time.monotonic() - t0, 3)
+    total = round(time.monotonic() - t_all, 3)
+
+    # input-rows throughput of the headline join+tiling group
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    n_part = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    join_tiling = ["cell_count", "pip_join", "box_overlaps", "tile_assign",
+                   "tile_owner", "border_owner"]
+    jt_sec = sum(times[q] for q in join_tiling)
+    jt_rows = len(join_tiling) * (n_orders + n_part)
+    out = {
+        "metric": "suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+        "output_rows": rows,
+        "join_tiling_rows_per_sec": round(jt_rows / jt_sec, 1) if jt_sec else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

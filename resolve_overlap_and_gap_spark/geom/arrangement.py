@@ -381,11 +381,36 @@ def _point_in_walk(px: int, py: int, coords: np.ndarray) -> bool:
     return inside
 
 
-def overlay(polys: list[tuple[int, list[np.ndarray]]]) -> list[Face]:
-    """Full overlay: snapped int rings in, labeled faces out."""
+def ring_is_valid(ring: np.ndarray) -> bool:
+    """Simple-ring validity (bowtie detection): a valid ring's segments node
+    to themselves without splits and enclose nonzero area — the engine's
+    ST_IsValid analog (function_resolve_overlap_gap_post.sql:48-59)."""
+    r = np.asarray(ring, dtype=np.int64)
+    if len(r) > 1 and (r[0] == r[-1]).all():
+        r = r[:-1]
+    if len(r) < 3:
+        return False
+    if ring_area2(r.astype(np.float64)) == 0:
+        return False
+    nxt = np.roll(r, -1, axis=0)
+    keep = (r != nxt).any(axis=1)
+    S = np.hstack([r[keep], nxt[keep]])
+    n0 = len(S)
+    S2, _, _ = node_segments(S, np.zeros(n0, np.int64), np.ones(n0, np.int64))
+    return len(S2) == n0
+
+
+def overlay(polys: list[tuple[int, list[np.ndarray]]],
+            with_adjacency: bool = False):
+    """Full overlay: snapped int rings in, labeled faces out.
+
+    with_adjacency=True additionally returns a dict
+    (face_idx_a, face_idx_b) -> shared boundary length (grid units, a<b;
+    -1 stands for the outside/unassigned region) — the input to sliver
+    merging (ST_RemEdgeNewFace semantics)."""
     S, pid, wt = rings_to_segments(polys)
     if len(S) == 0:
-        return []
+        return ([], {}) if with_adjacency else []
     S, pid, wt = node_segments(S, pid, wt)
     arr = Arrangement(S, pid, wt)
     winding = label_walks(arr)
@@ -401,6 +426,7 @@ def overlay(polys: list[tuple[int, list[np.ndarray]]]) -> list[Face]:
         i: (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
         for i, c in pos_coords.items()
     }
+    hole_owner: dict[int, int] = {}
     for h in neg:
         hc = arr.walk_coords(h)
         # a vertex of the hole that is NOT on the candidate shell would be
@@ -420,5 +446,27 @@ def overlay(polys: list[tuple[int, list[np.ndarray]]]) -> list[Face]:
             if _point_in_walk(px, py, pos_coords[i]):
                 faces[i].holes.append(hc)
                 faces[i].area2 += arr.walk_area2[h]
+                hole_owner[h] = i
                 break
-    return list(faces.values())
+    face_list = list(faces.values())
+    if not with_adjacency:
+        return face_list
+
+    # face index per walk: positive walks map to themselves; hole walks to
+    # their assigned shell's face; unassigned (outer) walks to -1
+    order = {wid: k for k, wid in enumerate(faces.keys())}
+    walk_face = {}
+    for wid in pos:
+        walk_face[wid] = order[wid]
+    for h, i in hole_owner.items():
+        walk_face[h] = order[i]
+    adj: dict[tuple[int, int], float] = {}
+    for eid, (x1, y1, x2, y2) in enumerate(arr.edges):
+        fa = walk_face.get(arr.walk_of[2 * eid], -1)
+        fb = walk_face.get(arr.walk_of[2 * eid + 1], -1)
+        if fa == fb:
+            continue
+        key = (fa, fb) if fa < fb else (fb, fa)
+        L = float(np.hypot(x2 - x1, y2 - y1))
+        adj[key] = adj.get(key, 0.0) + L
+    return face_list, adj

@@ -1,0 +1,221 @@
+"""The resolve pipeline — Spark-native re-creation of
+resolve_overlap_gap_run (src/main/sql/function_resolve_overlap_gap_run.sql),
+phase-structured instead of lock-negotiated (SURVEY.md §3.1):
+
+  1. validity marking  — _input_geo_is_valid
+     (function_resolve_overlap_gap_post.sql:48-59)
+  2. per-cell overlay  — replaces the scratch-topology build + snap-insert
+     (function_resolve_overlap_gap_single_cell.sql:257-386)
+  3. sliver merge      — faces below min_area_to_keep merge into the
+     neighbor with the longest shared border (ST_RemEdgeNewFace loop,
+     …utils/function_01_do_remove_small_areas_no_block.sql:52-93); ties
+     break by neighbor id (deterministic, unlike the reference)
+  4. attribute assignment — owner = input polygon covering the face; an
+     overlap face is covered 100% by several inputs (all pass the >0.5
+     rule), ranked list with pk first (…single_cell.sql:833-863); the
+     reference's tie order is engine-dependent, ours is min-id
+  5. output            — one row per (cell, owner): multipolygon, area,
+     _other_intersect_id_list
+
+Cross-cell heal (merging owner pieces across grid borders — job types 4/5)
+is a planned phase; v1 emits per-cell pieces that tile exactly (cell borders
+are snap-grid aligned).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from resolve_overlap_and_gap_spark.config import EngineConfig
+from resolve_overlap_and_gap_spark.geom import wkb
+from resolve_overlap_and_gap_spark.geom.arrangement import overlay, ring_is_valid
+from resolve_overlap_and_gap_spark.operators.overlap_gap import (
+    UNIVERSE,
+    _clip_to_cell,
+    _snap_polys,
+    with_cells,
+)
+from resolve_overlap_and_gap_spark import grid
+
+
+@F.pandas_udf(T.BooleanType())
+def wkb_is_valid(geoms: pd.Series) -> pd.Series:
+    """Arrow-batched validity check (simple-ring noding test)."""
+    out = np.empty(len(geoms), dtype=bool)
+    for i, b in enumerate(geoms):
+        ok = True
+        try:
+            for rings in wkb.load_polygons(bytes(b)):
+                for r in rings:
+                    r = np.asarray(r, dtype=np.float64)
+                    # scale-relative grid keeps int64 predicates overflow-free
+                    ext = float(max(r[:, 0].ptp(), r[:, 1].ptp(), 1e-30))
+                    c = np.floor(r / (ext / 1e7) + 0.5).astype(np.int64)
+                    if not ring_is_valid(c):
+                        ok = False
+        except Exception:
+            ok = False
+        out[i] = ok
+    return pd.Series(out)
+
+
+def mark_valid(features: DataFrame, geom_col: str = "geom") -> DataFrame:
+    return features.withColumn("_input_geo_is_valid", wkb_is_valid(F.col(geom_col)))
+
+
+RESOLVE_SCHEMA = T.StructType([
+    T.StructField("cell_id", T.LongType()),
+    T.StructField("owner", T.LongType()),
+    T.StructField("other_ids", T.ArrayType(T.LongType())),
+    T.StructField("area", T.DoubleType()),
+    T.StructField("geom", T.BinaryType()),
+])
+
+
+def _merge_slivers(faces, adj, min_area2: float, border_faces: set[int] = frozenset()):
+    """Union-find sliver merge: repeatedly merge the smallest face below
+    min_area2 (2x grid-units area) into its longest-shared-border neighbor.
+    Gap faces (cover == {UNIVERSE}) below threshold merge too — that's the
+    'slivers/gaps below min area merged into neighbors' contract
+    (README.md:36-42).
+
+    All tie-breaks use geometric keys (min shell vertex), never internal
+    walk ids, so the result is independent of input row order — the
+    determinism the reference gets from ordered processing (SURVEY §2.6 O1).
+    Returns (root group id per face, group areas)."""
+    n = len(faces)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    area = [f.area2 for f in faces]
+    gkey = [tuple(min(map(tuple, f.shell.tolist()))) for f in faces]
+    nbrs: dict[int, dict[int, float]] = {i: {} for i in range(n)}
+    for (a, b), L in adj.items():
+        if a < 0 or b < 0:
+            continue
+        nbrs[a][b] = nbrs[a].get(b, 0.0) + L
+        nbrs[b][a] = nbrs[b].get(a, 0.0) + L
+
+    def norm(i: int) -> dict[int, float]:
+        """Re-key i's adjacency onto current roots, dropping self."""
+        out: dict[int, float] = {}
+        for j, L in nbrs[i].items():
+            r = find(j)
+            if r != i:
+                out[r] = out.get(r, 0.0) + L
+        nbrs[i] = out
+        return out
+
+    blocked: set[int] = set()
+    while True:
+        # faces touching the cell border never merge here: the reference
+        # handles border-adjacent small faces in its border job phases
+        # (job types 5/6, …single_cell.sql:737-787) after heal; merging them
+        # per-cell would make border strips partition-dependent
+        cands = [
+            (area[i], gkey[i], i) for i in range(n)
+            if find(i) == i and i not in blocked and i not in border_faces
+            and area[i] < min_area2 and nbrs[i]
+        ]
+        if not cands:
+            break
+        _, _, s = min(cands)
+        nb = norm(s)
+        if not nb:
+            blocked.add(s)
+            continue
+        t = min(nb, key=lambda j: (-nb[j], gkey[j]))
+        parent[s] = t
+        area[t] += area[s]
+        blocked.discard(t)
+        for j, L in nb.items():
+            if j != t:
+                nbrs[t][j] = nbrs[t].get(j, 0.0) + L
+                nbrs[j][t] = nbrs[j].get(t, 0.0) + L
+        nbrs[s] = {}
+    return [find(i) for i in range(n)], area
+
+
+def resolve(features: DataFrame, cfg: EngineConfig, res: int = 8,
+            geom_col: str = "geom", id_col: str = "fid") -> DataFrame:
+    """-> (cell_id, owner, other_ids, area, geom) — clean coverage pieces."""
+    g = cfg.snap_tolerance
+    min_area2 = 2.0 * cfg.min_area_to_keep / (g * g)  # to 2x grid-units
+    feats = features.select(
+        F.col(id_col).cast("long").alias("fid"), F.col(geom_col).alias("geom")
+    )
+    cells = with_cells(feats, res).repartition("cell_id")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell_id"].iloc[0])
+        xmin, ymin, xmax, ymax = grid.cell_bounds_np(np.array([cell], dtype=np.int64))
+        cxmin = int(np.floor(xmin[0] / g + 0.5)); cymin = int(np.floor(ymin[0] / g + 0.5))
+        cxmax = int(np.floor(xmax[0] / g + 0.5)); cymax = int(np.floor(ymax[0] / g + 0.5))
+        polys = []
+        for fid, geom in zip(pdf["fid"], pdf["geom"]):
+            for pid, rings in _snap_polys(int(fid), geom, g):
+                clipped = _clip_to_cell(rings, cxmin, cymin, cxmax, cymax)
+                if clipped:
+                    polys.append((pid, clipped))
+        box = np.array([[cxmin, cymin], [cxmax, cymin], [cxmax, cymax], [cxmin, cymax]],
+                       dtype=np.int64)
+        polys.append((UNIVERSE, [box]))
+        faces, adj = overlay(polys, with_adjacency=True)
+        if not faces:
+            return pd.DataFrame(columns=["cell_id", "owner", "other_ids", "area", "geom"])
+        border_faces = set()
+        for k, f in enumerate(faces):
+            s = f.shell
+            if (
+                (s[:, 0] == cxmin).any() or (s[:, 0] == cxmax).any()
+                or (s[:, 1] == cymin).any() or (s[:, 1] == cymax).any()
+            ):
+                border_faces.add(k)
+        group_of, _ = _merge_slivers(faces, adj, min_area2, border_faces)
+        # owner of a group = owner of its root face (attribute inheritance)
+        groups: dict[int, list[int]] = {}
+        for i, r in enumerate(group_of):
+            groups.setdefault(r, []).append(i)
+        rows = []
+        for r, members in sorted(groups.items()):
+            root_cover = sorted(p for p in faces[r].cover if p != UNIVERSE)
+            if not root_cover:
+                continue  # unclaimed gap above min_area stays a gap
+            owner = root_cover[0]
+            others = root_cover[1:]
+            area2 = sum(faces[i].area2 for i in members)
+            mp = [
+                [faces[i].shell.astype(np.float64) * g]
+                + [h.astype(np.float64) * g for h in faces[i].holes]
+                for i in members
+            ]
+            rows.append((cell, owner, others, area2 / 2.0 * g * g,
+                         wkb.dump_multipolygon(mp)))
+        return pd.DataFrame(rows, columns=["cell_id", "owner", "other_ids", "area", "geom"])
+
+    return cells.groupBy("cell_id").applyInPandas(kernel, RESOLVE_SCHEMA)
+
+
+def resolve_layer(features: DataFrame, cfg: EngineConfig, res: int = 8,
+                  geom_col: str = "geom", id_col: str = "fid") -> DataFrame:
+    """Final layer: one row per owner with attributes re-attached (J3) and
+    per-owner area; pieces stay per-cell multipolygons (heal pass pending)."""
+    pieces = resolve(features, cfg, res, geom_col, id_col)
+    per_owner = pieces.groupBy("owner").agg(
+        F.sum("area").alias("area"),
+        F.flatten(F.collect_list("other_ids")).alias("other_ids_raw"),
+        F.count("*").alias("n_pieces"),
+    ).withColumn("other_ids", F.array_distinct(F.array_sort("other_ids_raw"))).drop("other_ids_raw")
+    attrs = mark_valid(features, geom_col).drop(geom_col)
+    return per_owner.join(
+        attrs.withColumnRenamed(id_col, "owner"), "owner", "left"
+    )

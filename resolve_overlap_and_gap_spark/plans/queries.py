@@ -402,6 +402,55 @@ def o_cells_outside_in() -> str:
     return _w1_rank_sql(inner)
 
 
+DETECT_CFG_SNAP = 1e-5
+
+
+def derived_polygon_layer(spark: SparkSession, sf_dir: str, scale: float = 1.0,
+                          table: str = "orders", key: str = "o_orderkey") -> DataFrame:
+    """Geo-parse stage on real polygons: deterministic irregular n-gon
+    footprints around page points (sources.pages.with_ngon_footprint)."""
+    from resolve_overlap_and_gap_spark.sources.pages import with_ngon_footprint
+
+    pts = _points(spark, sf_dir, table, key)
+    return with_ngon_footprint(pts, scale).select(
+        F.col("pid").alias("fid"), "geom"
+    )
+
+
+def q_detect_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full polygon overlap/gap detection (find_overlap_and_gap semantics)
+    on derived n-gon footprints. Non-SQL-expressible (planar overlay) —
+    rows-only driver check; exactness is covered by tests/test_overlap_gap.py
+    invariants (cell-partition exactness, determinism, clean-layer zero)."""
+    from resolve_overlap_and_gap_spark.config import EngineConfig
+    from resolve_overlap_and_gap_spark.operators.overlap_gap import detect_all
+
+    layer = derived_polygon_layer(spark, sf_dir)
+    cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP)
+    return detect_all(layer, cfg, res=6).select(
+        "cell_id", "kind", "id_a", "id_b",
+        F.expr("cast(floor(area * 1e9) as bigint)").alias("area_x1e9"),
+        "touches_border",
+    )
+
+
+def q_resolve_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full resolve pipeline (overlaps resolved, slivers merged, attributes
+    assigned) on derived n-gon footprints. Rows-only driver check; semantics
+    covered by tests/test_resolve.py (zero overlaps after resolve, area
+    bounds, owner rule, determinism)."""
+    from resolve_overlap_and_gap_spark.config import EngineConfig
+    from resolve_overlap_and_gap_spark.operators.resolve import resolve
+
+    layer = derived_polygon_layer(spark, sf_dir)
+    cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=1e-4)
+    return resolve(layer, cfg, res=6).select(
+        "cell_id", "owner",
+        F.size("other_ids").alias("n_others"),
+        F.expr("cast(floor(area * 1e9) as bigint)").alias("area_x1e9"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str, scale: float = 8.0) -> DataFrame:
     """Flagship pipeline: derive page footprints, overlap self-join (J2) with
     canonical-cell dedup, then attach each left feature's canonical owner
@@ -444,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "cells_outside_in": q_cells_outside_in,
+        "detect_polygons": q_detect_polygons,
+        "resolve_polygons": q_resolve_polygons,
     }
 
 

@@ -18,10 +18,14 @@ any pages DataFrame gains (px, py[, footprint box]) via ``with_point`` /
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from resolve_overlap_and_gap_spark import derive
+from resolve_overlap_and_gap_spark.geom import wkb as _wkb
 
 
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,6 +62,34 @@ def with_point(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     return df.withColumn("px", F.expr(derive.lon_sql(key_col, derive.SPARK))).withColumn(
         "py", F.expr(derive.lat_sql(key_col, derive.SPARK))
     )
+
+
+def with_ngon_footprint(df: DataFrame, scale: float = 1.0,
+                        id_col: str = "pid") -> DataFrame:
+    """Derive an irregular convex n-gon footprint (WKB Polygon) around each
+    page point — the geo-parse stage for real-polygon operators. Built in an
+    Arrow-batched pandas UDF with integer hash mixing (deterministic, no RNG
+    state, no per-row Spark Python)."""
+    @F.pandas_udf(T.BinaryType())
+    def ngon(pid: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
+        ids = pid.to_numpy(dtype=np.int64)
+        xs = px.to_numpy(dtype=np.float64)
+        ys = py.to_numpy(dtype=np.float64)
+        h = (ids * np.int64(2654435761)) & np.int64(0xFFFFFFFF)
+        nv = 5 + (h % 4)                       # 5..8 vertices
+        rad = (0.05 + (h % 5000) / 10000.0) * scale
+        out = []
+        for i in range(len(ids)):
+            k = np.arange(nv[i])
+            mix = ((ids[i] * np.int64(40503) + k * np.int64(2654435761))
+                   & np.int64(0xFFFFFFFF)).astype(np.float64) / 4294967296.0
+            ang = 2.0 * np.pi * (k + mix * 0.5) / nv[i]
+            rr = rad[i] * (0.7 + 0.6 * mix)
+            ring = np.stack([xs[i] + rr * np.cos(ang), ys[i] + rr * np.sin(ang)], axis=1)
+            out.append(_wkb.dump_polygon([ring]))
+        return pd.Series(out)
+
+    return df.withColumn("geom", ngon(F.col(id_col), F.col("px"), F.col("py")))
 
 
 def with_footprint(df: DataFrame, key_col: str = "doc_id", scale: float = 1.0) -> DataFrame:
