@@ -145,62 +145,67 @@ def _merge_slivers(faces, adj, min_area2: float, border_faces: set[int] = frozen
     return [find(i) for i in range(n)], area
 
 
+def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int) -> pd.DataFrame:
+    """Per-cell resolve kernel (module-level so checkpointed runs reuse it)."""
+    g = cfg.snap_tolerance
+    min_area2 = 2.0 * cfg.min_area_to_keep / (g * g)  # to 2x grid-units
+    cell = int(pdf["cell_id"].iloc[0])
+    xmin, ymin, xmax, ymax = grid.cell_bounds_np(np.array([cell], dtype=np.int64))
+    cxmin = int(np.floor(xmin[0] / g + 0.5)); cymin = int(np.floor(ymin[0] / g + 0.5))
+    cxmax = int(np.floor(xmax[0] / g + 0.5)); cymax = int(np.floor(ymax[0] / g + 0.5))
+    polys = []
+    for fid, geom in zip(pdf["fid"], pdf["geom"]):
+        for pid, rings in _snap_polys(int(fid), geom, g):
+            clipped = _clip_to_cell(rings, cxmin, cymin, cxmax, cymax)
+            if clipped:
+                polys.append((pid, clipped))
+    box = np.array([[cxmin, cymin], [cxmax, cymin], [cxmax, cymax], [cxmin, cymax]],
+                   dtype=np.int64)
+    polys.append((UNIVERSE, [box]))
+    faces, adj = overlay(polys, with_adjacency=True)
+    if not faces:
+        return pd.DataFrame(columns=["cell_id", "owner", "other_ids", "area", "geom"])
+    border_faces = set()
+    for k, f in enumerate(faces):
+        s = f.shell
+        if (
+            (s[:, 0] == cxmin).any() or (s[:, 0] == cxmax).any()
+            or (s[:, 1] == cymin).any() or (s[:, 1] == cymax).any()
+        ):
+            border_faces.add(k)
+    group_of, _ = _merge_slivers(faces, adj, min_area2, border_faces)
+    # owner of a group = owner of its root face (attribute inheritance)
+    groups: dict[int, list[int]] = {}
+    for i, r in enumerate(group_of):
+        groups.setdefault(r, []).append(i)
+    rows = []
+    for r, members in sorted(groups.items()):
+        root_cover = sorted(p for p in faces[r].cover if p != UNIVERSE)
+        if not root_cover:
+            continue  # unclaimed gap above min_area stays a gap
+        owner = root_cover[0]
+        others = root_cover[1:]
+        area2 = sum(faces[i].area2 for i in members)
+        mp = [
+            [faces[i].shell.astype(np.float64) * g]
+            + [h.astype(np.float64) * g for h in faces[i].holes]
+            for i in members
+        ]
+        rows.append((cell, owner, others, area2 / 2.0 * g * g,
+                     wkb.dump_multipolygon(mp)))
+    return pd.DataFrame(rows, columns=["cell_id", "owner", "other_ids", "area", "geom"])
+
+
 def resolve(features: DataFrame, cfg: EngineConfig, res: int = 8,
             geom_col: str = "geom", id_col: str = "fid") -> DataFrame:
     """-> (cell_id, owner, other_ids, area, geom) — clean coverage pieces."""
-    g = cfg.snap_tolerance
-    min_area2 = 2.0 * cfg.min_area_to_keep / (g * g)  # to 2x grid-units
     feats = features.select(
         F.col(id_col).cast("long").alias("fid"), F.col(geom_col).alias("geom")
     )
     cells = with_cells(feats, res).repartition("cell_id")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        cell = int(pdf["cell_id"].iloc[0])
-        xmin, ymin, xmax, ymax = grid.cell_bounds_np(np.array([cell], dtype=np.int64))
-        cxmin = int(np.floor(xmin[0] / g + 0.5)); cymin = int(np.floor(ymin[0] / g + 0.5))
-        cxmax = int(np.floor(xmax[0] / g + 0.5)); cymax = int(np.floor(ymax[0] / g + 0.5))
-        polys = []
-        for fid, geom in zip(pdf["fid"], pdf["geom"]):
-            for pid, rings in _snap_polys(int(fid), geom, g):
-                clipped = _clip_to_cell(rings, cxmin, cymin, cxmax, cymax)
-                if clipped:
-                    polys.append((pid, clipped))
-        box = np.array([[cxmin, cymin], [cxmax, cymin], [cxmax, cymax], [cxmin, cymax]],
-                       dtype=np.int64)
-        polys.append((UNIVERSE, [box]))
-        faces, adj = overlay(polys, with_adjacency=True)
-        if not faces:
-            return pd.DataFrame(columns=["cell_id", "owner", "other_ids", "area", "geom"])
-        border_faces = set()
-        for k, f in enumerate(faces):
-            s = f.shell
-            if (
-                (s[:, 0] == cxmin).any() or (s[:, 0] == cxmax).any()
-                or (s[:, 1] == cymin).any() or (s[:, 1] == cymax).any()
-            ):
-                border_faces.add(k)
-        group_of, _ = _merge_slivers(faces, adj, min_area2, border_faces)
-        # owner of a group = owner of its root face (attribute inheritance)
-        groups: dict[int, list[int]] = {}
-        for i, r in enumerate(group_of):
-            groups.setdefault(r, []).append(i)
-        rows = []
-        for r, members in sorted(groups.items()):
-            root_cover = sorted(p for p in faces[r].cover if p != UNIVERSE)
-            if not root_cover:
-                continue  # unclaimed gap above min_area stays a gap
-            owner = root_cover[0]
-            others = root_cover[1:]
-            area2 = sum(faces[i].area2 for i in members)
-            mp = [
-                [faces[i].shell.astype(np.float64) * g]
-                + [h.astype(np.float64) * g for h in faces[i].holes]
-                for i in members
-            ]
-            rows.append((cell, owner, others, area2 / 2.0 * g * g,
-                         wkb.dump_multipolygon(mp)))
-        return pd.DataFrame(rows, columns=["cell_id", "owner", "other_ids", "area", "geom"])
+        return _cell_kernel(pdf, cfg, res)
 
     return cells.groupBy("cell_id").applyInPandas(kernel, RESOLVE_SCHEMA)
 
