@@ -28,7 +28,7 @@ BENCH_QUERIES = [
     "tile_assign",
     "tile_owner",
     "border_owner",
-    "knn",
+    "knn_ring",
     "cells_outside_in",
     # text / dedup / similarity
     "dedup_exact",

@@ -71,12 +71,13 @@ def rings_to_segments(polys: list[tuple[int, list[np.ndarray]]]):
     )
 
 
-def _bbox_pairs(S: np.ndarray, chunk: int = 512) -> list[tuple[int, int]]:
-    """Candidate intersecting pairs by bbox overlap (chunked broadcast)."""
+def _bbox_pairs(S: np.ndarray, chunk: int = 1024) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate intersecting pairs (i<j) by bbox overlap — fully
+    vectorized, chunked broadcast; returns index arrays."""
     m = len(S)
     x1 = np.minimum(S[:, 0], S[:, 2]); x2 = np.maximum(S[:, 0], S[:, 2])
     y1 = np.minimum(S[:, 1], S[:, 3]); y2 = np.maximum(S[:, 1], S[:, 3])
-    pairs = []
+    outs_i, outs_j = [], []
     for i0 in range(0, m, chunk):
         i1 = min(i0 + chunk, m)
         for j0 in range(i0, m, chunk):
@@ -88,10 +89,14 @@ def _bbox_pairs(S: np.ndarray, chunk: int = 512) -> list[tuple[int, int]]:
                 & (y2[i0:i1, None] >= y1[None, j0:j1])
             )
             ii, jj = np.nonzero(ov)
-            for a, b in zip(ii + i0, jj + j0):
-                if a < b:
-                    pairs.append((int(a), int(b)))
-    return pairs
+            ii = ii + i0
+            jj = jj + j0
+            keep = ii < jj
+            outs_i.append(ii[keep])
+            outs_j.append(jj[keep])
+    if not outs_i:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(outs_i), np.concatenate(outs_j)
 
 
 def _cross(ox, oy, ax, ay, bx, by) -> int:
@@ -115,7 +120,25 @@ def node_segments(S: np.ndarray, pid: np.ndarray, wt: np.ndarray, max_iter: int 
         if m == 0:
             break
         splits: dict[int, set[tuple[int, int]]] = defaultdict(set)
-        for a, b in _bbox_pairs(S):
+        I, J = _bbox_pairs(S)
+        if len(I):
+            # vectorized orientation predicates over all candidate pairs;
+            # only actually-interacting pairs reach the python assembly loop
+            A, B = S[I], S[J]
+            ax1, ay1, ax2, ay2 = A[:, 0], A[:, 1], A[:, 2], A[:, 3]
+            bx1, by1, bx2, by2 = B[:, 0], B[:, 1], B[:, 2], B[:, 3]
+            d1v = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+            d2v = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+            d3v = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+            d4v = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+            strad_b = ((d1v > 0) != (d2v > 0)) | (d1v == 0) | (d2v == 0)
+            strad_a = ((d3v > 0) != (d4v > 0)) | (d3v == 0) | (d4v == 0)
+            interact = strad_a & strad_b
+            idx = np.nonzero(interact)[0]
+        else:
+            idx = []
+        for t in idx:
+            a, b = int(I[t]), int(J[t])
             ax1, ay1, ax2, ay2 = (int(v) for v in S[a])
             bx1, by1, bx2, by2 = (int(v) for v in S[b])
             d1 = _cross(ax1, ay1, ax2, ay2, bx1, by1)
@@ -379,6 +402,61 @@ def _point_in_walk(px: int, py: int, coords: np.ndarray) -> bool:
             if (lhs < rhs) if (y2 - y1) > 0 else (lhs > rhs):
                 inside = not inside
     return inside
+
+
+def union_faces(polys: list[tuple[int, list[np.ndarray]]]) -> list[Face]:
+    """Dissolved union of all inputs (any winding > 0): keep only the edges
+    where coverage changes (the union boundary), re-polygonize them.
+    Interior edges — shared borders and overlap boundaries — disappear,
+    which is the ST_Union dissolve semantic (SURVEY §2.4 A2) and the heal
+    of ST_ModEdgeHeal across grid borders (§2.9)."""
+    S, pid, wt = rings_to_segments(polys)
+    if len(S) == 0:
+        return []
+    S, pid, wt = node_segments(S, pid, wt)
+    arr = Arrangement(S, pid, wt)
+    winding = label_walks(arr)
+
+    def covered(wid: int) -> bool:
+        return any(v > 0 for v in winding[wid].values())
+
+    segs = []
+    for eid, (x1, y1, x2, y2) in enumerate(arr.edges):
+        inl = covered(arr.walk_of[2 * eid])
+        inr = covered(arr.walk_of[2 * eid + 1])
+        if inl == inr:
+            continue
+        # orient with interior on the left
+        segs.append((x1, y1, x2, y2) if inl else (x2, y2, x1, y1))
+    if not segs:
+        return []
+    S2 = np.asarray(segs, dtype=np.int64)
+    arr2 = Arrangement(S2, np.zeros(len(S2), np.int64), np.ones(len(S2), np.int64))
+    w2 = label_walks(arr2)
+    pos = [i for i, a in enumerate(arr2.walk_area2) if a > 0]
+    neg = [i for i, a in enumerate(arr2.walk_area2) if a < 0]
+    faces = {i: Face(shell=arr2.walk_coords(i), winding=w2[i], area2=arr2.walk_area2[i])
+             for i in pos}
+    pos_sorted = sorted(pos, key=lambda i: arr2.walk_area2[i])
+    pos_coords = {i: arr2.walk_coords(i) for i in pos}
+    pos_bbox = {i: (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
+                for i, c in pos_coords.items()}
+    for h in neg:
+        hc = arr2.walk_coords(h)
+        px = int(hc[:, 0].min())
+        py = int(hc[hc[:, 0] == px][:, 1].min())
+        hb = (hc[:, 0].min(), hc[:, 1].min(), hc[:, 0].max(), hc[:, 1].max())
+        for i in pos_sorted:
+            if -arr2.walk_area2[h] >= arr2.walk_area2[i]:
+                continue
+            bb = pos_bbox[i]
+            if not (bb[0] <= hb[0] and bb[1] <= hb[1] and bb[2] >= hb[2] and bb[3] >= hb[3]):
+                continue
+            if _point_in_walk(px, py, pos_coords[i]):
+                faces[i].holes.append(hc)
+                faces[i].area2 += arr2.walk_area2[h]
+                break
+    return list(faces.values())
 
 
 def ring_is_valid(ring: np.ndarray) -> bool:

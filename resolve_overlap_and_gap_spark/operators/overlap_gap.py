@@ -134,53 +134,75 @@ DETECT_SCHEMA = T.StructType([
 
 
 def detect_all(features: DataFrame, cfg: EngineConfig, res: int = 6,
-               geom_col: str = "geom", id_col: str = "fid") -> DataFrame:
+               geom_col: str = "geom", id_col: str = "fid",
+               n_buckets: int = 256) -> DataFrame:
     """One-pass detection: per cell, ONE overlay yields both overlap rows
     (per feature pair, J2 semantics) and gap rows (uncovered faces,
     ST_Difference(cell, union) semantics). The reference needs three scans
-    per cell for the same outputs (clip, self-join, difference)."""
+    per cell for the same outputs (clip, self-join, difference).
+
+    Cells are processed in hashed BUCKETS of n_buckets groups: one Arrow
+    round-trip covers many cells (per-cell groups would pay the
+    applyInPandas overhead thousands of times); AQE still splits skewed
+    buckets. The kernel loops cells inside the batch."""
     g = cfg.snap_tolerance
     feats = features.select(
         F.col(id_col).cast("long").alias("fid"), F.col(geom_col).alias("geom")
     )
-    cells = with_cells(feats, res).repartition("cell_id")
+    cells = with_cells(feats, res).withColumn(
+        "bucket", F.pmod(F.hash("cell_id"), F.lit(n_buckets))
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        cell, faces = _cell_faces(pdf, cfg, res)
-        xmin, ymin, xmax, ymax = grid.cell_bounds_np(np.array([cell], dtype=np.int64))
-        cxmin = int(np.floor(xmin[0] / g + 0.5)); cymin = int(np.floor(ymin[0] / g + 0.5))
-        cxmax = int(np.floor(xmax[0] / g + 0.5)); cymax = int(np.floor(ymax[0] / g + 0.5))
-        rows = []
-        pairs: dict[tuple[int, int], list[Face]] = {}
-        for f in faces:
-            if f.cover == frozenset([UNIVERSE]):
-                s = f.shell
-                touches = bool(
-                    (s[:, 0] == cxmin).any() or (s[:, 0] == cxmax).any()
-                    or (s[:, 1] == cymin).any() or (s[:, 1] == cymax).any()
-                )
-                mp = [[f.shell.astype(np.float64) * g]
-                      + [h.astype(np.float64) * g for h in f.holes]]
-                rows.append((cell, "gap", None, None, f.area2 / 2.0 * g * g,
-                             touches, wkb.dump_multipolygon(mp)))
-                continue
-            ids = sorted(p for p in f.cover if p != UNIVERSE)
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    pairs.setdefault((ids[i], ids[j]), []).append(f)
-        for (a, b), fs in sorted(pairs.items()):
-            area = sum(f.area2 for f in fs) / 2.0 * g * g
-            if area <= 0:
-                continue
-            mp = [[f.shell.astype(np.float64) * g]
-                  + [h.astype(np.float64) * g for h in f.holes] for f in fs]
-            rows.append((cell, "overlap", a, b, area, None, wkb.dump_multipolygon(mp)))
-        return pd.DataFrame(
-            rows,
-            columns=["cell_id", "kind", "id_a", "id_b", "area", "touches_border", "geom"],
-        )
+        parts = [
+            _detect_one_cell(sub, cfg, res, g)
+            for _, sub in pdf.groupby("cell_id", sort=True)
+        ]
+        if not parts:
+            return pd.DataFrame(
+                columns=["cell_id", "kind", "id_a", "id_b", "area",
+                         "touches_border", "geom"])
+        return pd.concat(parts, ignore_index=True)
 
-    return cells.groupBy("cell_id").applyInPandas(kernel, DETECT_SCHEMA)
+    return cells.groupBy("bucket").applyInPandas(kernel, DETECT_SCHEMA)
+
+
+def _detect_one_cell(pdf: pd.DataFrame, cfg: EngineConfig, res: int, g: float) -> pd.DataFrame:
+    cell, faces = _cell_faces(pdf, cfg, res)
+    xmin, ymin, xmax, ymax = grid.cell_bounds_np(np.array([cell], dtype=np.int64))
+    cxmin = int(np.floor(xmin[0] / g + 0.5)); cymin = int(np.floor(ymin[0] / g + 0.5))
+    cxmax = int(np.floor(xmax[0] / g + 0.5)); cymax = int(np.floor(ymax[0] / g + 0.5))
+    rows = []
+    pairs: dict[tuple[int, int], list[Face]] = {}
+    for f in faces:
+        if f.cover == frozenset([UNIVERSE]):
+            s = f.shell
+            touches = bool(
+                (s[:, 0] == cxmin).any() or (s[:, 0] == cxmax).any()
+                or (s[:, 1] == cymin).any() or (s[:, 1] == cymax).any()
+            )
+            mp = [[f.shell.astype(np.float64) * g]
+                  + [h.astype(np.float64) * g for h in f.holes]]
+            rows.append((cell, "gap", None, None, f.area2 / 2.0 * g * g,
+                         touches, wkb.dump_multipolygon(mp)))
+            continue
+        ids = sorted(p for p in f.cover if p != UNIVERSE)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.setdefault((ids[i], ids[j]), []).append(f)
+    for (a, b), fs in sorted(pairs.items()):
+        area = sum(f.area2 for f in fs) / 2.0 * g * g
+        if area <= 0:
+            continue
+        mp = [[f.shell.astype(np.float64) * g]
+              + [h.astype(np.float64) * g for h in f.holes] for f in fs]
+        rows.append((cell, "overlap", a, b, area, None, wkb.dump_multipolygon(mp)))
+    return pd.DataFrame(
+        rows,
+        columns=["cell_id", "kind", "id_a", "id_b", "area", "touches_border", "geom"],
+    )
+
+
 
 
 def detect(features: DataFrame, cfg: EngineConfig, res: int = 6,

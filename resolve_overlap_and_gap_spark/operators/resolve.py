@@ -196,18 +196,33 @@ def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int) -> pd.DataFrame
     return pd.DataFrame(rows, columns=["cell_id", "owner", "other_ids", "area", "geom"])
 
 
+def _bucket_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int) -> pd.DataFrame:
+    parts = [
+        _cell_kernel(sub, cfg, res) for _, sub in pdf.groupby("cell_id", sort=True)
+    ]
+    if not parts:
+        return pd.DataFrame(columns=["cell_id", "owner", "other_ids", "area", "geom"])
+    return pd.concat(parts, ignore_index=True)
+
+
 def resolve(features: DataFrame, cfg: EngineConfig, res: int = 8,
-            geom_col: str = "geom", id_col: str = "fid") -> DataFrame:
-    """-> (cell_id, owner, other_ids, area, geom) — clean coverage pieces."""
+            geom_col: str = "geom", id_col: str = "fid",
+            n_buckets: int = 256) -> DataFrame:
+    """-> (cell_id, owner, other_ids, area, geom) — clean coverage pieces.
+
+    Cells are processed in hashed buckets (one Arrow round-trip covers many
+    cells; per-cell groups would pay applyInPandas overhead per cell)."""
     feats = features.select(
         F.col(id_col).cast("long").alias("fid"), F.col(geom_col).alias("geom")
     )
-    cells = with_cells(feats, res).repartition("cell_id")
+    cells = with_cells(feats, res).withColumn(
+        "bucket", F.pmod(F.hash("cell_id"), F.lit(n_buckets))
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _cell_kernel(pdf, cfg, res)
+        return _bucket_kernel(pdf, cfg, res)
 
-    return cells.groupBy("cell_id").applyInPandas(kernel, RESOLVE_SCHEMA)
+    return cells.groupBy("bucket").applyInPandas(kernel, RESOLVE_SCHEMA)
 
 
 def resolve_layer(features: DataFrame, cfg: EngineConfig, res: int = 8,

@@ -31,7 +31,7 @@ PIP_RES = 7             # point-in-box join resolution
 OVL_RES = 6             # overlap self-join resolution
 TILE_RES = 7            # tiling resolution
 KNN_K = 5
-KNN_QMOD = 50           # queries = points with id % KNN_QMOD == 0
+KNN_QMOD = 200          # queries = points with id % KNN_QMOD == 0
 COS_QMOD = 25
 
 
@@ -200,6 +200,17 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pid as qid", "px as qx", "py as qy"
     )
     return knn.knn_bruteforce(pts, qs, KNN_K).select("qid", "pid", "rank")
+
+
+def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN via cell-ring expansion (the 100TB scale path): candidates
+    from expanding grid rings, finished when the kth distance is provably
+    within the ring guarantee. Must equal the brute-force oracle exactly."""
+    pts = _points(spark, sf_dir, "orders", "o_orderkey")
+    qs = pts.where(F.col("pid") % KNN_QMOD == 0).selectExpr(
+        "pid as qid", "px as qx", "py as qy"
+    )
+    return knn.knn_cell_ring(pts, qs, KNN_K, res=7).select("qid", "pid", "rank")
 
 
 def o_knn() -> str:
@@ -451,6 +462,21 @@ def q_resolve_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dissolve_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissolve (ST_Union GROUP BY key, A2): union of derived n-gon
+    footprints per group of 100 pages; internal/overlap edges healed.
+    Rows-only driver check; exactness covered by tests/test_dissolve.py."""
+    from resolve_overlap_and_gap_spark.operators.dissolve import dissolve
+
+    layer = derived_polygon_layer(spark, sf_dir)
+    grouped = layer.withColumn("grp", F.col("fid") % 100)
+    return dissolve(grouped, "grp", DETECT_CFG_SNAP).select(
+        F.col("key").alias("grp"),
+        F.expr("cast(floor(area * 1e9) as bigint)").alias("area_x1e9"),
+        "n_parts",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str, scale: float = 8.0) -> DataFrame:
     """Flagship pipeline: derive page footprints, overlap self-join (J2) with
     canonical-cell dedup, then attach each left feature's canonical owner
@@ -484,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_owner": q_tile_owner,
         "border_owner": q_border_owner,
         "knn": q_knn,
+        "knn_ring": q_knn_ring,
         "cosine_topk": q_cosine_topk,
         "dedup_exact": q_dedup_exact,
         "quality_stats": q_quality_stats,
@@ -495,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cells_outside_in": q_cells_outside_in,
         "detect_polygons": q_detect_polygons,
         "resolve_polygons": q_resolve_polygons,
+        "dissolve_polygons": q_dissolve_polygons,
     }
 
 
@@ -507,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_owner": o_tile_owner(),
         "border_owner": o_border_owner(),
         "knn": o_knn(),
+        "knn_ring": o_knn(),
         "cosine_topk": o_cosine_topk(),
         "dedup_exact": o_dedup_exact(),
         "quality_stats": o_quality_stats(),

@@ -1,0 +1,52 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from resolve_overlap_and_gap_spark.config import EngineConfig
+from resolve_overlap_and_gap_spark.geom import wkb
+from resolve_overlap_and_gap_spark.operators.dissolve import dissolve
+from resolve_overlap_and_gap_spark.operators.resolve import resolve
+from resolve_overlap_and_gap_spark.sources.fixtures import tiling_df
+
+G = 1e-5
+
+
+def _sq(x0, y0, x1, y1):
+    return wkb.dump_polygon([np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], float)])
+
+
+@pytest.mark.spark
+def test_dissolve_merges_touching_parts(spark):
+    rows = [
+        (1, _sq(0, 0, 1, 1)),
+        (1, _sq(1, 0, 2, 1)),     # shares full edge with the first
+        (1, _sq(5, 5, 6, 6)),     # disjoint part
+        (2, _sq(0, 0, 1, 1)),
+        (2, _sq(0.5, 0, 1.5, 1)),  # overlapping -> union, not double count
+    ]
+    df = spark.createDataFrame(rows, "key long, geom binary")
+    out = {r.key: r for r in dissolve(df, "key", G).collect()}
+    assert out[1].n_parts == 2           # two merged + one island
+    assert out[1].area == pytest.approx(3.0, rel=1e-9)
+    assert out[2].n_parts == 1
+    assert out[2].area == pytest.approx(1.5, rel=1e-9)
+
+
+@pytest.mark.spark
+def test_dissolve_heals_cell_borders(spark):
+    """Owner pieces produced by per-cell resolve, dissolved per owner,
+    must reproduce each input polygon's area (no overlaps in a clean
+    tiling) with internal grid-border edges healed away."""
+    df = tiling_df(spark, k=4, cell=0.4, origin=(5.0, 55.0), jitter=0.0, seed=2)
+    cfg = EngineConfig(snap_tolerance=1e-5)
+    pieces = resolve(df, cfg, res=9)  # res 9 cells (0.7x0.35 deg) cut the quads
+    n_multi = pieces.groupBy("owner").count().where("count > 1").count()
+    assert n_multi > 0  # borders really did split owners
+    healed = dissolve(pieces, "owner", cfg.snap_tolerance)
+    got = {r.key: r for r in healed.collect()}
+    assert len(got) == 16
+    for k, r in got.items():
+        assert r.n_parts == 1          # border edges healed: one face again
+        assert r.area == pytest.approx(0.16, rel=1e-6)
