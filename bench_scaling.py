@@ -29,8 +29,11 @@ qs = E.queries()
 sf_dir = {sf_dir!r}
 names = ["pip_join", "box_overlaps", "tile_assign", "tile_owner",
          "detect_polygons", "resolve_polygons"]
-# warm the JVM + parquet footers with a cheap pass
-qs["cell_count"](spark, sf_dir).count()
+# steady-state measurement: full warmup pass (JVM JIT, python workers,
+# parquet footers), then the timed pass — models a long-running job where
+# startup is amortized
+for n in names:
+    qs[n](spark, sf_dir).count()
 t0 = time.monotonic()
 rows = 0
 for n in names:

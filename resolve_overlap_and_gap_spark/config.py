@@ -39,6 +39,10 @@ class EngineConfig:
     simplify_tolerance: float = 0.0   # 0 = no simplify (ST_SimplifyPreserveTopology analog)
     chaikins_iterations: int = 0      # smoothing off by default
     utm: bool = False                 # planar (True) vs geographic degrees (False)
+    geodesic_measure: bool = False    # when True (and utm=False): sliver/min
+                                      # areas are m^2 on the sphere, the
+                                      # reference's ST_Area(g,true) path
+                                      # (…utils/function_01_get_face_area.sql:24-28)
     grid: GridConfig = field(default_factory=GridConfig)
 
     # --- reference-derived constants, kept under their origin names ---

@@ -133,8 +133,35 @@ def node_segments(S: np.ndarray, pid: np.ndarray, wt: np.ndarray, max_iter: int 
             d4v = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
             strad_b = ((d1v > 0) != (d2v > 0)) | (d1v == 0) | (d2v == 0)
             strad_a = ((d3v > 0) != (d4v > 0)) | (d3v == 0) | (d4v == 0)
-            interact = strad_a & strad_b
-            idx = np.nonzero(interact)[0]
+            # pairs that merely share an endpoint (ring-consecutive segments
+            # are the bulk of candidates) can only intersect AT that shared
+            # vertex unless collinear — no split needed, skip them
+            share = (
+                ((ax1 == bx1) & (ay1 == by1)) | ((ax1 == bx2) & (ay1 == by2))
+                | ((ax2 == bx1) & (ay2 == by1)) | ((ax2 == bx2) & (ay2 == by2))
+            )
+            collin = (d1v == 0) & (d2v == 0)
+            interact = strad_a & strad_b & (~share | collin)
+            # fast path: PROPER crossings (all orientations nonzero) — the
+            # intersection point is vectorized; only degenerate touches go
+            # through the python branch below
+            proper = interact & (d1v != 0) & (d2v != 0) & (d3v != 0) & (d4v != 0)
+            pk = np.nonzero(proper)[0]
+            if len(pk):
+                tt = d3v[pk].astype(np.float64) / (d3v[pk] - d4v[pk]).astype(np.float64)
+                pxv = np.floor(ax1[pk] + tt * (ax2[pk] - ax1[pk]) + 0.5).astype(np.int64)
+                pyv = np.floor(ay1[pk] + tt * (ay2[pk] - ay1[pk]) + 0.5).astype(np.int64)
+                Ipk = I[pk]; Jpk = J[pk]
+                for q in range(len(pk)):
+                    a = int(Ipk[q]); b = int(Jpk[q])
+                    p = (int(pxv[q]), int(pyv[q]))
+                    sa = S[a]
+                    if p != (sa[0], sa[1]) and p != (sa[2], sa[3]):
+                        splits[a].add(p)
+                    sb = S[b]
+                    if p != (sb[0], sb[1]) and p != (sb[2], sb[3]):
+                        splits[b].add(p)
+            idx = np.nonzero(interact & ~proper)[0]
         else:
             idx = []
         for t in idx:
@@ -214,105 +241,143 @@ class Face:
 
 class Arrangement:
     def __init__(self, S, pid, wt):
-        # --- dedup into undirected edges with per-poly net winding deltas
-        edge_net: dict[tuple, dict[int, int]] = {}
-        for i in range(len(S)):
-            x1, y1, x2, y2 = (int(v) for v in S[i])
-            if (x1, y1) <= (x2, y2):
-                key, sgn = (x1, y1, x2, y2), int(wt[i])
-            else:
-                key, sgn = (x2, y2, x1, y1), -int(wt[i])
-            d = edge_net.setdefault(key, {})
-            d[int(pid[i])] = d.get(int(pid[i]), 0) + sgn
-        edges = []
-        self.net = []
-        for key, d in edge_net.items():
-            d = {p: w for p, w in d.items() if w != 0}
-            if d:
-                edges.append(key)
-                self.net.append(d)
-        self.edges = edges  # canonical direction (lexicographic)
+        """Array-based DCEL: dedup, angular sort, next-pointers, walks and
+        areas are all numpy; only walk chasing and the per-(edge,poly) net
+        dict remain python loops (O(E))."""
+        S = np.asarray(S, dtype=np.int64).reshape(-1, 4)
+        pid = np.asarray(pid, dtype=np.int64)
+        wt = np.asarray(wt, dtype=np.int64)
 
-        # --- half edges: 2*i = along canonical dir, 2*i+1 = reverse
-        out_at: dict[tuple, list[int]] = defaultdict(list)
-        self.he_from, self.he_to = [], []
-        for i, (x1, y1, x2, y2) in enumerate(edges):
-            self.he_from += [(x1, y1), (x2, y2)]
-            self.he_to += [(x2, y2), (x1, y1)]
-            out_at[(x1, y1)].append(2 * i)
-            out_at[(x2, y2)].append(2 * i + 1)
-        # sort outgoing half-edges CCW by angle
-        self.next_he: dict[int, int] = {}
-        for v, hs in out_at.items():
-            hs.sort(key=lambda h: np.arctan2(self.he_to[h][1] - v[1], self.he_to[h][0] - v[0]))
-        for i in range(len(edges)):
-            for h in (2 * i, 2 * i + 1):
-                v = self.he_to[h]
-                hs = out_at[v]
-                twin = h ^ 1
-                k = hs.index(twin)
-                self.next_he[h] = hs[(k - 1) % len(hs)]
+        # --- canonicalize direction (lexicographic endpoint order)
+        flip = (S[:, 0] > S[:, 2]) | ((S[:, 0] == S[:, 2]) & (S[:, 1] > S[:, 3]))
+        C = S.copy()
+        C[flip] = S[flip][:, [2, 3, 0, 1]]
+        sgn = np.where(flip, -wt, wt)
 
-        # --- walks (face boundary cycles)
-        self.walk_of: dict[int, int] = {}
-        self.walks: list[list[int]] = []
-        for h0 in range(2 * len(edges)):
-            if h0 in self.walk_of:
+        # --- aggregate winding deltas per (edge, poly) via lexsort+reduce
+        if len(C):
+            order = np.lexsort((pid, C[:, 3], C[:, 2], C[:, 1], C[:, 0]))
+            Cs, Ps, Gs = C[order], pid[order], sgn[order]
+            newkey = np.ones(len(Cs), dtype=bool)
+            if len(Cs) > 1:
+                same = (Cs[1:] == Cs[:-1]).all(axis=1) & (Ps[1:] == Ps[:-1])
+                newkey[1:] = ~same
+            grp = np.cumsum(newkey) - 1
+            sums = np.zeros(int(grp[-1]) + 1, dtype=np.int64)
+            np.add.at(sums, grp, Gs)
+            starts = np.nonzero(newkey)[0]
+            keep = sums != 0
+            Ek, Pk, Wk = Cs[starts][keep], Ps[starts][keep], sums[keep]
+        else:
+            Ek = np.empty((0, 4), np.int64)
+            Pk = Wk = np.empty(0, np.int64)
+
+        # --- collapse to unique edges; net dicts per edge
+        echange = np.ones(len(Ek), dtype=bool)
+        if len(Ek) > 1:
+            echange[1:] = ~(Ek[1:] == Ek[:-1]).all(axis=1)
+        eidx = np.cumsum(echange) - 1 if len(Ek) else np.empty(0, np.int64)
+        E = Ek[echange] if len(Ek) else Ek
+        self.edges = E  # (n_e, 4) int64, canonical direction
+        self.net: list[dict[int, int]] = [dict() for _ in range(len(E))]
+        for r in range(len(Ek)):
+            self.net[int(eidx[r])][int(Pk[r])] = int(Wk[r])
+
+        n_e = len(E)
+        # --- half-edge coordinate arrays: even h = canonical, odd = reverse
+        fx = np.empty(2 * n_e, np.int64); fy = np.empty(2 * n_e, np.int64)
+        tx = np.empty(2 * n_e, np.int64); ty = np.empty(2 * n_e, np.int64)
+        if n_e:
+            fx[0::2], fy[0::2], tx[0::2], ty[0::2] = E[:, 0], E[:, 1], E[:, 2], E[:, 3]
+            fx[1::2], fy[1::2], tx[1::2], ty[1::2] = E[:, 2], E[:, 3], E[:, 0], E[:, 1]
+        self._fx, self._fy, self._tx, self._ty = fx, fy, tx, ty
+
+        # --- node ids
+        pts = np.stack([np.concatenate([fx, tx]), np.concatenate([fy, ty])], axis=1)
+        if len(pts):
+            uniq, inv = np.unique(pts, axis=0, return_inverse=True)
+        else:
+            uniq = np.empty((0, 2), np.int64); inv = np.empty(0, np.int64)
+        self.nodes = uniq
+        from_node = inv[: 2 * n_e]
+        to_node = inv[2 * n_e:]
+        self.from_node, self.to_node = from_node, to_node
+
+        # --- angular sort of outgoing half-edges per node
+        ang = np.arctan2((ty - fy).astype(np.float64), (tx - fx).astype(np.float64))
+        order = np.lexsort((ang, from_node))
+        pos_in = np.empty(2 * n_e, np.int64)
+        pos_in[order] = np.arange(2 * n_e)
+        fn_sorted = from_node[order] if n_e else from_node
+        node_start = np.searchsorted(fn_sorted, np.arange(len(uniq)), side="left")
+        node_deg = (
+            np.searchsorted(fn_sorted, np.arange(len(uniq)), side="right") - node_start
+        )
+        # next(h) = outgoing at head(h) immediately CW of twin(h)
+        if n_e:
+            twin = np.arange(2 * n_e) ^ 1
+            v = to_node
+            k = pos_in[twin] - node_start[v]
+            km = (k - 1) % node_deg[v]
+            self.next_he = order[node_start[v] + km]
+        else:
+            self.next_he = np.empty(0, np.int64)
+
+        # --- walks (face boundary cycles): python chase over int arrays
+        walk_of = np.full(2 * n_e, -1, dtype=np.int64)
+        walks: list[np.ndarray] = []
+        nh = self.next_he
+        for h0 in range(2 * n_e):
+            if walk_of[h0] >= 0:
                 continue
-            wid = len(self.walks)
-            cyc, h = [], h0
-            while h not in self.walk_of:
-                self.walk_of[h] = wid
+            wid = len(walks)
+            cyc = []
+            h = h0
+            while walk_of[h] < 0:
+                walk_of[h] = wid
                 cyc.append(h)
-                h = self.next_he[h]
-            self.walks.append(cyc)
+                h = int(nh[h])
+            walks.append(np.asarray(cyc, dtype=np.int64))
+        self.walk_of = walk_of
+        self.walks = walks
 
-        # --- walk signed areas (2x, exact int)
-        self.walk_area2 = []
-        for cyc in self.walks:
-            a2 = 0
-            for h in cyc:
-                (x1, y1), (x2, y2) = self.he_from[h], self.he_to[h]
-                a2 += x1 * y2 - x2 * y1
-            self.walk_area2.append(a2)
+        # --- walk signed areas (2x, exact int): vectorized accumulate
+        cross = fx * ty - tx * fy
+        area2 = np.zeros(len(walks), dtype=np.int64)
+        if n_e:
+            np.add.at(area2, walk_of, cross)
+        self.walk_area2 = area2
 
     def walk_coords(self, wid: int) -> np.ndarray:
-        return np.asarray([self.he_from[h] for h in self.walks[wid]], dtype=np.int64)
+        hs = self.walks[wid]
+        return np.stack([self._fx[hs], self._fy[hs]], axis=1)
 
 
-def _ray_winding(px: int, py: int, arr: Arrangement, skip_walks: set[int] | None = None,
+def _ray_winding(px: int, py: int, arr: Arrangement,
                  component_of=None, skip_comp=None) -> dict[int, int]:
     """Exact winding vector at point p via leftward horizontal ray: sum net
-    deltas of edges crossing the ray (half-open rule y1 <= py < y2)."""
+    deltas of edges crossing the ray (half-open rule min(y) <= py < max(y)).
+    Crossing predicate is vectorized exact int64 (cross-multiplied)."""
+    E = arr.edges
+    if len(E) == 0:
+        return {}
+    x1, y1, x2, y2 = E[:, 0], E[:, 1], E[:, 2], E[:, 3]
+    lo = np.minimum(y1, y2)
+    hi = np.maximum(y1, y2)
+    m = (lo <= py) & (py < hi)
+    if skip_comp is not None:
+        m &= component_of != skip_comp
+    num = (py - y1) * (x2 - x1)
+    den = y2 - y1
+    rhs = (px - x1) * den
+    crosses = m & np.where(den > 0, num < rhs, num > rhs)
+    up = y1 < y2
     w: dict[int, int] = defaultdict(int)
-    for i, (x1, y1, x2, y2) in enumerate(arr.edges):
-        if skip_comp is not None and component_of[i] == skip_comp:
-            continue
-        if y1 == y2:
-            continue
-        # upward = canonical dir goes up; crossing sign per winding convention:
-        # edge crossing the leftward ray going UP means p is to the RIGHT of
-        # the edge direction -> contributes -net? Derive: w(left)=w(right)+net.
-        # Point left of upward edge <=> px < x_at. We count edges with
-        # x_at < px (edge strictly left of p): p is RIGHT of upward edge.
-        if y1 < y2:
-            lo, hi, up = y1, y2, True
-        else:
-            lo, hi, up = y2, y1, False
-        if not (lo <= py < hi):
-            continue
-        # x at y=py on the segment: x1 + (py-y1)*(x2-x1)/(y2-y1) < px ?
-        # exact: compare (py-y1)*(x2-x1) < (px-x1)*(y2-y1) adjusting sign
-        num = (py - y1) * (x2 - x1)
-        den = (y2 - y1)
-        lhs = num
-        rhs = (px - x1) * den
-        crosses_left = lhs < rhs if den > 0 else lhs > rhs
-        if crosses_left:
-            for p, n in arr.net[i].items():
-                # upward edge left of p: p on right side -> subtract when
-                # moving conceptually from left face to p's side
-                w[p] += -n if up else n
+    for i in np.nonzero(crosses)[0]:
+        for p, n in arr.net[int(i)].items():
+            # p is on the RIGHT of an upward edge crossed to its left:
+            # w(right) = w(left) - net
+            w[p] += -n if up[i] else n
     return dict(w)
 
 
@@ -322,54 +387,56 @@ def label_walks(arr: Arrangement) -> list[dict[int, int]]:
     n_edges = len(arr.edges)
     if n_edges == 0:
         return []
-    # connected components over nodes
-    parent: dict[tuple, tuple] = {}
+    # connected components over node ids (union-find)
+    n_nodes = len(arr.nodes)
+    parent = list(range(n_nodes))
 
-    def find(x):
+    def find(x: int) -> int:
         while parent[x] != x:
             parent[x] = parent[parent[x]]
             x = parent[x]
         return x
 
-    for x1, y1, x2, y2 in arr.edges:
-        for v in ((x1, y1), (x2, y2)):
-            parent.setdefault(v, v)
-    for x1, y1, x2, y2 in arr.edges:
-        a, b = find((x1, y1)), find((x2, y2))
+    fe = arr.from_node[0::2]
+    te = arr.to_node[0::2]
+    for i in range(n_edges):
+        a, b = find(int(fe[i])), find(int(te[i]))
         if a != b:
             parent[a] = b
-    comp_of_edge = [find((e[0], e[1])) for e in arr.edges]
-    comps = sorted(set(comp_of_edge), key=lambda c: (c[0], c[1]))
+    comp_of_edge = np.fromiter((find(int(v)) for v in fe), np.int64, n_edges)
 
-    # min node per component (for anchoring)
-    comp_min: dict[tuple, tuple] = {}
-    for i, (x1, y1, x2, y2) in enumerate(arr.edges):
-        c = comp_of_edge[i]
-        for v in ((x1, y1), (x2, y2)):
-            if c not in comp_min or v < comp_min[c]:
-                comp_min[c] = v
+    # anchor node per component: node ids from np.unique are in
+    # lexicographic coordinate order, so the smallest id IS the min node
+    comp_anchor: dict[int, int] = {}
+    for v in range(n_nodes):
+        r = find(v)
+        if r not in comp_anchor:
+            comp_anchor[r] = v
+    comp_edges: dict[int, list[int]] = defaultdict(list)
+    for i in range(n_edges):
+        comp_edges[int(comp_of_edge[i])].append(i)
 
     winding: list[dict[int, int] | None] = [None] * len(arr.walks)
 
-    for c in comps:
-        # anchor: winding at the component's min node, from OTHER components
-        px, py = comp_min[c]
+    # process components in ascending anchor-node order (deterministic)
+    for c in sorted(comp_edges, key=lambda cc: comp_anchor[cc]):
+        px, py = (int(t) for t in arr.nodes[comp_anchor[c]])
         base = _ray_winding(px, py, arr, component_of=comp_of_edge, skip_comp=c)
-        # unbounded walk of this component = the one with min signed area
         walk_ids = sorted(
-            {arr.walk_of[2 * i] for i, cc in enumerate(comp_of_edge) if cc == c}
-            | {arr.walk_of[2 * i + 1] for i, cc in enumerate(comp_of_edge) if cc == c}
+            {int(arr.walk_of[2 * i]) for i in comp_edges[c]}
+            | {int(arr.walk_of[2 * i + 1]) for i in comp_edges[c]}
         )
-        root = min(walk_ids, key=lambda wgt: arr.walk_area2[wgt])
+        # unbounded walk of this component = the one with min signed area
+        root = min(walk_ids, key=lambda wgt: (int(arr.walk_area2[wgt]), wgt))
         winding[root] = dict(base)
-        # BFS across edges
         stack = [root]
         seen = {root}
         while stack:
             wcur = stack.pop()
             for h in arr.walks[wcur]:
+                h = int(h)
                 eid = h // 2
-                other = arr.walk_of[h ^ 1]
+                other = int(arr.walk_of[h ^ 1])
                 if other in seen:
                     continue
                 seen.add(other)
@@ -381,7 +448,7 @@ def label_walks(arr: Arrangement) -> list[dict[int, int]]:
                         wv[p] = wv.get(p, 0) - nn
                     else:           # cur face is right; other is left
                         wv[p] = wv.get(p, 0) + nn
-                winding[other] = {p: v for p, v in wv.items()}
+                winding[other] = wv
                 stack.append(other)
     return [w if w is not None else {} for w in winding]
 

@@ -85,35 +85,63 @@ def points_in_polygon(pts: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
 
 
 # ------------------------------------------------------------ clipping
+def _clip_small(pts: list, xmin, ymin, xmax, ymax) -> list:
+    """Plain-python Sutherland–Hodgman for small rings (numpy per-op
+    overhead dominates below ~32 vertices)."""
+    for fixed, ci, keep_ge in ((xmin, 0, True), (xmax, 0, False),
+                               (ymin, 1, True), (ymax, 1, False)):
+        if not pts:
+            return pts
+        out = []
+        n = len(pts)
+        for i in range(n):
+            cx, cy = pts[i]
+            nx, ny = pts[(i + 1) % n]
+            c_in = (pts[i][ci] >= fixed) if keep_ge else (pts[i][ci] <= fixed)
+            n_in = (pts[(i + 1) % n][ci] >= fixed) if keep_ge else (pts[(i + 1) % n][ci] <= fixed)
+            if c_in:
+                out.append((cx, cy))
+            if c_in != n_in:
+                if ci == 0:
+                    t = (fixed - cx) / (nx - cx)
+                    out.append((fixed, cy + t * (ny - cy)))
+                else:
+                    t = (fixed - cy) / (ny - cy)
+                    out.append((cx + t * (nx - cx), fixed))
+        pts = out
+    return pts
+
+
 def clip_ring_to_box(ring: np.ndarray, xmin, ymin, xmax, ymax) -> np.ndarray:
     """Sutherland–Hodgman clip of a ring against an axis box (exact for any
     subject polygon vs convex clip). Returns open ring (possibly empty).
     This is the per-cell ST_Intersection(data, cell) clip of the detection
     engine (find_overlap_and_gap-pre.sql:556-585)."""
     out = _drop_closing(np.asarray(ring, dtype=np.float64))
+    if len(out) <= 32:
+        pts = _clip_small([(float(x), float(y)) for x, y in out],
+                          float(xmin), float(ymin), float(xmax), float(ymax))
+        return np.asarray(pts, dtype=np.float64).reshape(-1, 2)
     for fixed, coord_idx, keep_ge in (
         (xmin, 0, True), (xmax, 0, False), (ymin, 1, True), (ymax, 1, False),
     ):
         if len(out) == 0:
             break
         cur = out
-        nxt = np.roll(cur, -1, axis=0)
+        nxt = np.concatenate([cur[1:], cur[:1]], axis=0)
         ins_cur = (cur[:, coord_idx] >= fixed) if keep_ge else (cur[:, coord_idx] <= fixed)
         ins_nxt = (nxt[:, coord_idx] >= fixed) if keep_ge else (nxt[:, coord_idx] <= fixed)
-        pieces = []
         denom = nxt[:, coord_idx] - cur[:, coord_idx]
         with np.errstate(divide="ignore", invalid="ignore"):
             t = np.where(denom != 0, (fixed - cur[:, coord_idx]) / denom, 0.0)
         inter = cur + t[:, None] * (nxt - cur)
         inter[:, coord_idx] = fixed
-        for i in range(len(cur)):
-            if ins_cur[i]:
-                pieces.append(cur[i])
-                if not ins_nxt[i]:
-                    pieces.append(inter[i])
-            elif ins_nxt[i]:
-                pieces.append(inter[i])
-        out = np.array(pieces) if pieces else np.empty((0, 2))
+        # vectorized assembly: per vertex emit [cur if inside, inter if edge
+        # crosses the clip line] in order
+        crossing = ins_cur != ins_nxt
+        cand = np.stack([cur, inter], axis=1).reshape(-1, 2)   # (2n, 2)
+        mask = np.stack([ins_cur, crossing], axis=1).reshape(-1)
+        out = cand[mask]
     return out
 
 

@@ -423,9 +423,27 @@ def derived_polygon_layer(spark: SparkSession, sf_dir: str, scale: float = 1.0,
     from resolve_overlap_and_gap_spark.sources.pages import with_ngon_footprint
 
     pts = _points(spark, sf_dir, table, key)
+    # small parquet files arrive as one input split; spread rows before the
+    # Arrow UDF stages so geometry derivation parallelizes
+    pts = pts.repartition(spark.sparkContext.defaultParallelism * 2)
     return with_ngon_footprint(pts, scale).select(
         F.col("pid").alias("fid"), "geom"
     )
+
+
+def _density_res(spark: SparkSession, sf_dir: str, table: str = "orders") -> int:
+    """Content-balanced principle applied globally: pick the cell resolution
+    that keeps expected rows-per-cell near the reference's
+    max_rows_in_each_cell knob (~4 per cell here given world-wide spread).
+    Full per-cell adaptive refinement lives in
+    operators.celljoin.content_balanced_cells."""
+    import math
+
+    n = _read(spark, sf_dir, table).count()
+    # 4^res cells; ~40 rows/cell balances per-cell fixed cost against the
+    # superlinear dense-cell noding cost (measured sweet spot at sf0.1)
+    res = int(math.ceil(math.log(max(n / 40.0, 1.0), 4)))
+    return max(4, min(res, 10))
 
 
 def q_detect_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,7 +456,7 @@ def q_detect_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     layer = derived_polygon_layer(spark, sf_dir)
     cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP)
-    return detect_all(layer, cfg, res=6).select(
+    return detect_all(layer, cfg, res=_density_res(spark, sf_dir)).select(
         "cell_id", "kind", "id_a", "id_b",
         F.expr("cast(floor(area * 1e9) as bigint)").alias("area_x1e9"),
         "touches_border",
@@ -455,7 +473,7 @@ def q_resolve_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     layer = derived_polygon_layer(spark, sf_dir)
     cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=1e-4)
-    return resolve(layer, cfg, res=6).select(
+    return resolve(layer, cfg, res=_density_res(spark, sf_dir)).select(
         "cell_id", "owner",
         F.size("other_ids").alias("n_others"),
         F.expr("cast(floor(area * 1e9) as bigint)").alias("area_x1e9"),
