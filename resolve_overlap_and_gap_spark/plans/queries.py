@@ -431,6 +431,59 @@ def derived_polygon_layer(spark: SparkSession, sf_dir: str, scale: float = 1.0,
     )
 
 
+_SESSIONIZE_SQL = """
+    select user_id, session_id,
+           count(*) as n_events,
+           cast(sum(cast(floor(value * 10000.0) as bigint)) as bigint) as value_x1e4
+    from (
+      select user_id, ts, value,
+             sum(is_new) over (partition by user_id order by ts, event_id
+                               rows between unbounded preceding and current row) as session_id
+      from (
+        select user_id, ts, event_id, value,
+               case when lag(ts) over (partition by user_id order by ts, event_id)
+                         is null then 1
+                    when cast(ts as timestamp) > lag(cast(ts as timestamp))
+                         over (partition by user_id order by ts, event_id)
+                         + interval '30' minute then 1
+                    else 0 end as is_new
+        from events) t) s
+    group by user_id, session_id
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min) via lag/sum windows — identical SQL text
+    runs on Spark and DuckDB (interval syntax shared)."""
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_SESSIONIZE_SQL)
+
+
+def o_sessionize() -> str:
+    return _SESSIONIZE_SQL
+
+
+_EVENT_WINDOW_SQL = """
+    select cast(floor(epoch / 3600.0) as bigint) as hour_bucket,
+           event_type,
+           count(*) as n,
+           count(distinct user_id) as n_users
+    from (select *, {epoch} as epoch from events) t
+    group by 1, 2
+"""
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows per event type (batch analog of the streaming
+    cell_counts aggregation)."""
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_EVENT_WINDOW_SQL.format(epoch="cast(unix_timestamp(ts) as double)"))
+
+
+def o_event_windows() -> str:
+    return _EVENT_WINDOW_SQL.format(epoch="epoch(ts)")
+
+
 def _density_res(spark: SparkSession, sf_dir: str, table: str = "orders") -> int:
     """Content-balanced principle applied globally: pick the cell resolution
     that keeps expected rows-per-cell near the reference's
@@ -538,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "cells_outside_in": q_cells_outside_in,
+        "sessionize": q_sessionize,
+        "event_windows": q_event_windows,
         "detect_polygons": q_detect_polygons,
         "resolve_polygons": q_resolve_polygons,
         "dissolve_polygons": q_dissolve_polygons,
@@ -563,4 +618,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash": o_simhash(),
         "jaccard_pairs": o_jaccard_pairs(),
         "cells_outside_in": o_cells_outside_in(),
+        "sessionize": o_sessionize(),
+        "event_windows": o_event_windows(),
     }
