@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     # geometry engine (Arrow-batched arrangement kernels)
     "detect_polygons",
     "resolve_polygons",
+    "dissolve_polygons",
+    "resolve_healed",
 ]
 
 

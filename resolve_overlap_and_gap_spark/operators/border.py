@@ -59,9 +59,14 @@ def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
     g = cfg.snap_tolerance
     spark = pieces.sparkSession
 
-    # 1. border-touching gap faces from detection
+    # 1. border-touching gap faces from detection. Only pieces below
+    #    min_area can be part of a cross-border sliver (if any piece is
+    #    >= min_area the reassembled gap is too) — exact pre-filter that
+    #    excludes the large open-world gaps from the union below.
     det = detect_all(features, cfg, res=res)
-    border_gaps = det.where("kind = 'gap' and touches_border").select("geom")
+    border_gaps = det.where(
+        f"kind = 'gap' and touches_border and area < {cfg.min_area_to_keep}"
+    ).select("geom")
 
     # 2. reassemble across cells: global dissolve of border gap pieces.
     #    Gap mass is sparse (slivers); a single-partition union is bounded.

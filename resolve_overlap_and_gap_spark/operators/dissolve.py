@@ -40,6 +40,17 @@ def _union_one_group(key: int, geoms: list[bytes], grid_size: float) -> tuple:
             ir = [np.floor(np.asarray(r, np.float64) / grid_size + 0.5).astype(np.int64)
                   for r in rings]
             polys.append((0, ir))
+    if len(polys) == 1:
+        # fast path: a single polygon part IS its own union — skip the
+        # arrangement entirely (the common case after per-cell resolve)
+        from resolve_overlap_and_gap_spark.geom.core import ring_area2
+
+        rings = polys[0][1]
+        a2 = abs(ring_area2(rings[0].astype(np.float64)))
+        for h in rings[1:]:
+            a2 -= abs(ring_area2(h.astype(np.float64)))
+        mp = [[r.astype(np.float64) * grid_size for r in rings]]
+        return (key, a2 / 2.0 * grid_size * grid_size, 1, wkb.dump_multipolygon(mp))
     out = union_faces(polys)
     mp = [
         [f.shell.astype(np.float64) * grid_size]
