@@ -471,6 +471,103 @@ def _point_in_walk(px: int, py: int, coords: np.ndarray) -> bool:
     return inside
 
 
+def _extract_chains(arr: Arrangement):
+    """Maximal chains of edges between nodes of degree != 2 (plus isolated
+    cycles), where every edge along a chain carries the SAME winding-delta
+    dict — these are the topology's shared border lines (the edges of
+    PostGIS Topology edge_data)."""
+    n_e = len(arr.edges)
+    n_nodes = len(arr.nodes)
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    adj: dict[int, list[tuple[int, int, int]]] = defaultdict(list)
+    for i in range(n_e):
+        u = int(arr.from_node[2 * i]); v = int(arr.to_node[2 * i])
+        deg[u] += 1; deg[v] += 1
+        adj[u].append((i, v, 1))
+        adj[v].append((i, u, -1))
+
+    def net_along(e: int, d: int) -> tuple:
+        return tuple(sorted((p, n * d) for p, n in arr.net[e].items()))
+
+    visited = np.zeros(n_e, dtype=bool)
+    chains = []  # (coords list of node ids, net_along_first)
+
+    def walk(e0: int, u0: int, d0: int):
+        coords = [u0]
+        e, u, d = e0, u0, d0
+        key = net_along(e0, d0)
+        while True:
+            visited[e] = True
+            v = int(arr.to_node[2 * e]) if d == 1 else int(arr.from_node[2 * e])
+            coords.append(v)
+            if deg[v] != 2 or v == coords[0]:
+                break
+            nxt = [t for t in adj[v] if t[0] != e]
+            if len(nxt) != 1:
+                break
+            e2, w, d2 = nxt[0]
+            if visited[e2] or net_along(e2, d2) != key:
+                break
+            e, u, d = e2, v, d2
+        return coords, key
+
+    for u in range(n_nodes):
+        if deg[u] == 2:
+            continue
+        for (e, v, d) in adj[u]:
+            if not visited[e]:
+                chains.append(walk(e, u, d))
+    for i in range(n_e):  # leftover pure cycles
+        if not visited[i]:
+            chains.append(walk(i, int(arr.from_node[2 * i]), 1))
+    return chains
+
+
+def simplify_segments(S, pid, wt, tol_units: float, chaikin_iters: int = 0,
+                      frozen_box: tuple | None = None):
+    """Simplify the arrangement's shared border chains (ST_ChangeEdgeGeom /
+    ST_SimplifyPreserveTopology semantics, …try_ST_ChangeEdgeGeom.sql:33-35):
+    node first, extract chains, Douglas-Peucker (+ optional Chaikin
+    acute-angle smoothing) each chain with its ENDPOINTS FROZEN; chains
+    touching the frozen box border are left untouched (the reference
+    freezes lines near cell borders, …single_cell.sql:232-254). Returns new
+    (S, pid, wt) to feed a fresh Arrangement — faces still partition."""
+    from resolve_overlap_and_gap_spark.geom.core import chaikin_acute, simplify_dp
+
+    S, pid, wt = node_segments(S, pid, wt)
+    arr = Arrangement(S, pid, wt)
+    chains = _extract_chains(arr)
+    segs, pids, wts = [], [], []
+    for node_ids, key in chains:
+        coords = arr.nodes[np.asarray(node_ids, dtype=np.int64)].astype(np.float64)
+        frozen = False
+        if frozen_box is not None:
+            bx0, by0, bx1, by1 = frozen_box
+            frozen = bool(
+                (coords[:, 0] == bx0).any() or (coords[:, 0] == bx1).any()
+                or (coords[:, 1] == by0).any() or (coords[:, 1] == by1).any()
+            )
+        if not frozen and len(coords) > 2:
+            coords = simplify_dp(coords, tol_units)
+            if chaikin_iters > 0:
+                coords = chaikin_acute(coords, chaikin_iters)
+            coords = np.floor(coords + 0.5)
+        c = coords.astype(np.int64)
+        keep = (np.diff(c, axis=0) != 0).any(axis=1)
+        ss = np.hstack([c[:-1][keep], c[1:][keep]])
+        for p, n in key:
+            segs.append(ss)
+            pids.extend([p] * len(ss))
+            wts.extend([n] * len(ss))
+    if not segs:
+        return S, pid, wt
+    return (
+        np.vstack(segs),
+        np.asarray(pids, dtype=np.int64),
+        np.asarray(wts, dtype=np.int64),
+    )
+
+
 def union_faces(polys: list[tuple[int, list[np.ndarray]]]) -> list[Face]:
     """Dissolved union of all inputs (any winding > 0): keep only the edges
     where coverage changes (the union boundary), re-polygonize them.
@@ -546,16 +643,26 @@ def ring_is_valid(ring: np.ndarray) -> bool:
 
 
 def overlay(polys: list[tuple[int, list[np.ndarray]]],
-            with_adjacency: bool = False):
+            with_adjacency: bool = False,
+            simplify_tol_units: float = 0.0,
+            chaikin_iters: int = 0,
+            frozen_box: tuple | None = None):
     """Full overlay: snapped int rings in, labeled faces out.
 
     with_adjacency=True additionally returns a dict
     (face_idx_a, face_idx_b) -> shared boundary length (grid units, a<b;
     -1 stands for the outside/unassigned region) — the input to sliver
-    merging (ST_RemEdgeNewFace semantics)."""
+    merging (ST_RemEdgeNewFace semantics).
+
+    simplify_tol_units > 0 simplifies shared border chains (frozen
+    endpoints, frozen near frozen_box) BEFORE face extraction, so output
+    faces still partition exactly (scenario-(b) simplify+Chaikin path)."""
     S, pid, wt = rings_to_segments(polys)
     if len(S) == 0:
         return ([], {}) if with_adjacency else []
+    if simplify_tol_units > 0:
+        S, pid, wt = simplify_segments(S, pid, wt, simplify_tol_units,
+                                       chaikin_iters, frozen_box)
     S, pid, wt = node_segments(S, pid, wt)
     arr = Arrangement(S, pid, wt)
     winding = label_walks(arr)

@@ -162,7 +162,13 @@ def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int) -> pd.DataFrame
     box = np.array([[cxmin, cymin], [cxmax, cymin], [cxmax, cymax], [cxmin, cymax]],
                    dtype=np.int64)
     polys.append((UNIVERSE, [box]))
-    faces, adj = overlay(polys, with_adjacency=True)
+    faces, adj = overlay(
+        polys,
+        with_adjacency=True,
+        simplify_tol_units=cfg.simplify_tolerance / g,
+        chaikin_iters=cfg.chaikins_iterations,
+        frozen_box=(cxmin, cymin, cxmax, cymax),
+    )
     if not faces:
         return pd.DataFrame(columns=["cell_id", "owner", "other_ids", "area", "geom"])
     border_faces = set()
