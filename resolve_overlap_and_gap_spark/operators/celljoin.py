@@ -129,42 +129,41 @@ def content_balanced_cells(
 
     Driver-side loop over resolutions, but each iteration is one distributed
     aggregation; the loop depth is <= max_res - base_res (log of skew), and
-    only still-oversized cells are re-aggregated.
+    only still-oversized cells are re-aggregated. Frontier stats (one tiny
+    row per cell) are collected per iteration — at extreme frontiers (10M+
+    cells) switch the isin filter back to a broadcast-join variant.
     """
-    # count at every resolution once: cheapest formulation is iterative
-    cur = (
-        points.select(grid.cell_id_col(F.col(lon), F.col(lat), base_res).alias("cell_id"))
-        .groupBy("cell_id")
-        .count()
-        .withColumn("res", F.lit(base_res))
-    )
-    done = cur.where((F.col("count") <= max_rows_in_each_cell) | (F.lit(base_res) >= max_res))
-    todo = cur.where((F.col("count") > max_rows_in_each_cell) & (F.lit(base_res) < max_res))
-    results = [done]
-    res = base_res
+    # iterative refinement; each iteration is one distributed aggregation.
+    # The per-iteration localCheckpoint truncates lineage — without it the
+    # recursive plan recomputes the whole chain at every action.
     pts = points.select(
         F.col(lon).alias("px"), F.col(lat).alias("py"),
         grid.cell_id_col(F.col(lon), F.col(lat), base_res).alias("cell_id"),
-    )
-    while res < max_res:
-        hot = todo.select("cell_id")
-        if hot.isEmpty():
+    ).localCheckpoint(eager=True)
+    cur = pts.groupBy("cell_id").count().withColumn("res", F.lit(base_res))
+    rows = cur.collect()  # frontier stats are small (one row per cell)
+    results = []
+    res = base_res
+    while True:
+        done = [(r.cell_id, int(r["count"]), res) for r in rows
+                if r["count"] <= max_rows_in_each_cell or res >= max_res]
+        hot = [r.cell_id for r in rows if r["count"] > max_rows_in_each_cell and res < max_res]
+        results.extend(done)
+        if not hot or res >= max_res:
             break
         res += 1
-        # keep only points in hot cells, re-key to child resolution
         pts = (
-            pts.join(F.broadcast(hot), "cell_id")
+            pts.where(F.col("cell_id").isin(hot))
             .drop("cell_id")
             .withColumn("cell_id", grid.cell_id_col(F.col("px"), F.col("py"), res))
+            .localCheckpoint(eager=True)
         )
-        cur = pts.groupBy("cell_id").count().withColumn("res", F.lit(res))
-        done = cur.where((F.col("count") <= max_rows_in_each_cell) | (F.lit(res) >= max_res))
-        todo = cur.where((F.col("count") > max_rows_in_each_cell) & (F.lit(res) < max_res))
-        results.append(done)
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out.withColumnRenamed("count", "n_rows")
+        rows = pts.groupBy("cell_id").count().withColumn("res", F.lit(res)).collect()
+    spark = points.sparkSession
+    return spark.createDataFrame(
+        [(int(c), int(n), int(r)) for c, n, r in results],
+        "cell_id long, n_rows long, res int",
+    )
 
 
 def assign_to_balanced_cells(points: DataFrame, cells: DataFrame, max_res: int,

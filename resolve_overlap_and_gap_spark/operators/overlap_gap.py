@@ -205,6 +205,68 @@ def _detect_one_cell(pdf: pd.DataFrame, cfg: EngineConfig, res: int, g: float) -
 
 
 
+def detect_all_balanced(features: DataFrame, cfg: EngineConfig,
+                        geom_col: str = "geom", id_col: str = "fid",
+                        n_buckets: int = 256) -> DataFrame:
+    """Detection over the CONTENT-BALANCED grid (the reference's
+    cbg_content_based_balanced_grid semantics,
+    find_overlap_and_gap-pre.sql:121-249): hot cells refine to children
+    until each holds <= max_rows_in_each_cell features, then the same
+    per-cell kernel runs on the mixed-resolution frontier.
+
+    The kernel is resolution-agnostic (cell bounds derive from the Morton
+    id), so only the assignment changes: features explode to covering cells
+    at every frontier resolution and semi-join the frontier (a broadcast of
+    the small cell dim per resolution)."""
+    from resolve_overlap_and_gap_spark.operators.celljoin import (
+        content_balanced_cells,
+    )
+
+    g = cfg.snap_tolerance
+    feats = features.select(
+        F.col(id_col).cast("long").alias("fid"), F.col(geom_col).alias("geom")
+    )
+    b = feats.withColumn("_b", wkb_bounds(F.col("geom")))
+    b = b.select("*", "_b.xmin", "_b.ymin", "_b.xmax", "_b.ymax").drop("_b")
+    b = b.withColumn("cx", (F.col("xmin") + F.col("xmax")) / 2).withColumn(
+        "cy", (F.col("ymin") + F.col("ymax")) / 2
+    )
+    b.cache()
+    balanced = content_balanced_cells(
+        b, cfg.grid.base_resolution, cfg.grid.max_resolution,
+        cfg.grid.max_rows_in_each_cell, lon="cx", lat="cy",
+    ).cache()
+    res_list = sorted(r["res"] for r in balanced.select("res").distinct().collect())
+    assigned = None
+    for r in res_list:
+        keyed = b.withColumn(
+            "cell_id",
+            F.explode(
+                grid.covering_cells_col(
+                    F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), r
+                )
+            ),
+        )
+        matched = keyed.join(
+            F.broadcast(balanced.where(F.col("res") == r).select("cell_id")), "cell_id"
+        )
+        assigned = matched if assigned is None else assigned.unionByName(matched)
+    cells = assigned.withColumn("bucket", F.pmod(F.hash("cell_id"), F.lit(n_buckets)))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for cid, sub in pdf.groupby("cell_id", sort=True):
+            r = int(grid.cell_res_np(np.array([cid], dtype=np.int64))[0])
+            parts.append(_detect_one_cell(sub, cfg, r, g))
+        if not parts:
+            return pd.DataFrame(
+                columns=["cell_id", "kind", "id_a", "id_b", "area",
+                         "touches_border", "geom"])
+        return pd.concat(parts, ignore_index=True)
+
+    return cells.groupBy("bucket").applyInPandas(kernel, DETECT_SCHEMA)
+
+
 def detect(features: DataFrame, cfg: EngineConfig, res: int = 6,
            geom_col: str = "geom", id_col: str = "fid") -> tuple[DataFrame, DataFrame]:
     """-> (overlaps, gaps) as separate DataFrames (cache detect_all() first

@@ -581,6 +581,25 @@ def q_resolve_healed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_detect_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection over the content-balanced (adaptive-resolution) grid —
+    the cbg_content_based_balanced_grid semantics. Rows-only driver check;
+    equivalence with fixed-res detection in tests/test_balanced_detect.py."""
+    from resolve_overlap_and_gap_spark.config import EngineConfig, GridConfig
+    from resolve_overlap_and_gap_spark.operators.overlap_gap import detect_all_balanced
+
+    layer = derived_polygon_layer(spark, sf_dir)
+    cfg = EngineConfig(
+        snap_tolerance=DETECT_CFG_SNAP,
+        grid=GridConfig(base_resolution=5, max_resolution=12, max_rows_in_each_cell=200),
+    )
+    return detect_all_balanced(layer, cfg).select(
+        "cell_id", "kind", "id_a", "id_b",
+        F.expr("cast(floor(area * 1e9) as bigint)").alias("area_x1e9"),
+        "touches_border",
+    )
+
+
 def q_dissolve_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dissolve (ST_Union GROUP BY key, A2): union of derived n-gon
     footprints per group of 100 pages; internal/overlap edges healed.
@@ -645,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_polygons": q_resolve_polygons,
         "dissolve_polygons": q_dissolve_polygons,
         "resolve_healed": q_resolve_healed,
+        "detect_balanced": q_detect_balanced,
     }
 
 
