@@ -249,6 +249,43 @@ def o_cosine_topk() -> str:
     """
 
 
+COSDUP_T = 0.2  # synthetic embeddings are near-orthogonal; low threshold
+                # still exercises the pair semantics
+
+
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-data dedup family):
+    all pairs (a<b) with cosine >= threshold, scores floored to x1e6 ints
+    for engine-portable output."""
+    emb = _read(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id as pid", "transform(embedding, x -> cast(x as double)) as vec"
+    )
+    a = emb.selectExpr("pid as id_a", "vec as va")
+    b = emb.selectExpr("pid as id_b", "vec as vb")
+    j = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    sim = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+        " / (sqrt(aggregate(transform(va, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))"
+        " * sqrt(aggregate(transform(vb, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v)))"
+    )
+    return (
+        j.withColumn("sim", sim)
+        .where(F.col("sim") >= COSDUP_T)
+        .selectExpr("id_a", "id_b", "cast(floor(sim * 1000000.0) as bigint) as sim_x1e6")
+    )
+
+
+def o_cosine_neardup() -> str:
+    return f"""
+        with e as (select vec_id as pid, embedding::DOUBLE[] as vec from embeddings)
+        select a.pid as id_a, b.pid as id_b,
+               cast(floor(list_cosine_similarity(a.vec, b.vec) * 1000000.0) as bigint) as sim_x1e6
+        from e a, e b
+        where a.pid < b.pid
+          and list_cosine_similarity(a.vec, b.vec) >= {COSDUP_T}
+    """
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_read(spark, sf_dir, "documents"))
 
@@ -650,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "knn_ring": q_knn_ring,
         "cosine_topk": q_cosine_topk,
+        "cosine_neardup": q_cosine_neardup,
         "dedup_exact": q_dedup_exact,
         "quality_stats": q_quality_stats,
         "lang_id": q_lang_id,
@@ -679,6 +717,7 @@ def oracle_sql() -> dict[str, str]:
         "knn": o_knn(),
         "knn_ring": o_knn(),
         "cosine_topk": o_cosine_topk(),
+        "cosine_neardup": o_cosine_neardup(),
         "dedup_exact": o_dedup_exact(),
         "quality_stats": o_quality_stats(),
         "lang_id": o_lang_id(),
