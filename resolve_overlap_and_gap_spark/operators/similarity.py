@@ -59,6 +59,76 @@ def with_lsh_bucket(emb: DataFrame, dim: int, n_planes: int = 12, seed: int = 42
     return emb.withColumn("bucket", bucket(F.col(vec_col)))
 
 
+def ivf_build(emb: DataFrame, dim: int, n_centroids: int = 16,
+              lloyd_iters: int = 2, seed: int = 7,
+              vec_col: str = "vec") -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse index: deterministic hash-seeded centroids refined by a
+    fixed number of Lloyd iterations (each = one Spark aggregation), then
+    every vector assigned to its nearest centroid — the inverted-file
+    partitioning used for billion-scale ANN. Returns (assigned_df with
+    `centroid_id`, centroids array)."""
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_centroids, dim)).astype(np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def assign_udf(cents_arr: np.ndarray):
+        @F.pandas_udf(T.IntegerType())
+        def assign(v: pd.Series) -> pd.Series:
+            m = np.stack(v.to_numpy()).astype(np.float64)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            return pd.Series(np.argmax(m @ cents_arr.T, axis=1).astype(np.int32))
+        return assign
+
+    for _ in range(lloyd_iters):
+        a = emb.withColumn("centroid_id", assign_udf(cents)(F.col(vec_col)))
+        sums = (
+            a.select("centroid_id", F.posexplode(vec_col).alias("i", "x"))
+            .groupBy("centroid_id", "i")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r.centroid_id, np.zeros(dim))[r.i] = r.s
+            cnt[r.centroid_id] = r.n
+        for c, v in acc.items():
+            if cnt[c] > 0:
+                nv = v / cnt[c]
+                nn = np.linalg.norm(nv)
+                if nn > 0:
+                    new[c] = nv / nn
+        cents = new
+    assigned = emb.withColumn("centroid_id", assign_udf(cents)(F.col(vec_col)))
+    return assigned, cents
+
+
+def ivf_ann_topk(emb: DataFrame, queries: DataFrame, k: int, dim: int,
+                 n_centroids: int = 16, nprobe: int = 4, seed: int = 7) -> DataFrame:
+    """IVF search: queries probe their nprobe nearest centroid buckets; the
+    candidate join is an equi-join on centroid_id (one shuffle), exact
+    cosine re-rank inside. Approximate: recall governed by nprobe."""
+    assigned, cents = ivf_build(emb, dim, n_centroids, seed=seed)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        order = np.argsort(-(m @ cents.T), axis=1)[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    q = queries.withColumn("centroid_id", F.explode(probes(F.col("qvec"))))
+    j = assigned.join(q, "centroid_id").where(F.col("pid") != F.col("qid"))
+    scored = j.withColumn("sim", _dot("vec", "qvec") / (_norm("vec") * _norm("qvec")))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("pid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "pid", "rank", "sim")
+    )
+
+
 def lsh_ann_topk(emb: DataFrame, k: int, dim: int, n_planes: int = 8, seed: int = 42) -> DataFrame:
     """ANN all-pairs: candidates share an LSH bucket; exact cosine re-rank in
     the bucket. One equi-join on bucket (shuffle); skewed buckets handled by
