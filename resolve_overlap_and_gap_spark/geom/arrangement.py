@@ -34,6 +34,8 @@ import numpy as np
 
 from resolve_overlap_and_gap_spark.geom.core import ring_area2
 
+CUT_LINE_BASE = -1000  # pids at or below this are attribute cut-lines
+
 
 # ------------------------------------------------------------ segments
 def rings_to_segments(polys: list[tuple[int, list[np.ndarray]]]):
@@ -233,6 +235,7 @@ class Face:
     holes: list[np.ndarray] = field(default_factory=list)  # CW rings
     winding: dict[int, int] = field(default_factory=dict)  # poly_id -> w
     area2: int = 0                        # 2x signed area incl. holes
+    lines: list[int] = field(default_factory=list)  # incident cut-line ids
 
     @property
     def cover(self) -> frozenset:
@@ -266,7 +269,11 @@ class Arrangement:
             sums = np.zeros(int(grp[-1]) + 1, dtype=np.int64)
             np.add.at(sums, grp, Gs)
             starts = np.nonzero(newkey)[0]
-            keep = sums != 0
+            # pids <= CUT_LINE_BASE are "cut lines": kept even with zero
+            # winding delta — they split faces without changing coverage
+            # (PostGIS-Topology semantics of an attribute LINE layer,
+            # types_resolve_overlap.sql:1-7, ar5 scenario)
+            keep = (sums != 0) | (Ps[starts] <= CUT_LINE_BASE)
             Ek, Pk, Wk = Cs[starts][keep], Ps[starts][keep], sums[keep]
         else:
             Ek = np.empty((0, 4), np.int64)
@@ -642,11 +649,30 @@ def ring_is_valid(ring: np.ndarray) -> bool:
     return len(S2) == n0
 
 
+def lines_to_segments(cut_lines: list[tuple[int, np.ndarray]]):
+    """Attribute cut-lines -> zero-winding segments (pid encodes line id
+    below CUT_LINE_BASE); they split faces without affecting coverage."""
+    segs, pids, wts = [], [], []
+    for lid, coords in cut_lines:
+        c = np.asarray(coords, dtype=np.int64)
+        if len(c) < 2:
+            continue
+        keep = (np.diff(c, axis=0) != 0).any(axis=1)
+        ss = np.hstack([c[:-1][keep], c[1:][keep]])
+        segs.append(ss)
+        pids.extend([CUT_LINE_BASE - int(lid)] * len(ss))
+        wts.extend([0] * len(ss))
+    if not segs:
+        return np.empty((0, 4), np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.vstack(segs), np.asarray(pids, np.int64), np.asarray(wts, np.int64)
+
+
 def overlay(polys: list[tuple[int, list[np.ndarray]]],
             with_adjacency: bool = False,
             simplify_tol_units: float = 0.0,
             chaikin_iters: int = 0,
-            frozen_box: tuple | None = None):
+            frozen_box: tuple | None = None,
+            cut_lines: list[tuple[int, np.ndarray]] | None = None):
     """Full overlay: snapped int rings in, labeled faces out.
 
     with_adjacency=True additionally returns a dict
@@ -658,6 +684,11 @@ def overlay(polys: list[tuple[int, list[np.ndarray]]],
     endpoints, frozen near frozen_box) BEFORE face extraction, so output
     faces still partition exactly (scenario-(b) simplify+Chaikin path)."""
     S, pid, wt = rings_to_segments(polys)
+    if cut_lines:
+        Sl, pl, wl = lines_to_segments(cut_lines)
+        S = np.vstack([S, Sl]) if len(S) else Sl
+        pid = np.concatenate([pid, pl])
+        wt = np.concatenate([wt, wl])
     if len(S) == 0:
         return ([], {}) if with_adjacency else []
     if simplify_tol_units > 0:
@@ -701,7 +732,7 @@ def overlay(polys: list[tuple[int, list[np.ndarray]]],
                 hole_owner[h] = i
                 break
     face_list = list(faces.values())
-    if not with_adjacency:
+    if not with_adjacency and not cut_lines:
         return face_list
 
     # face index per walk: positive walks map to themselves; hole walks to
@@ -712,6 +743,20 @@ def overlay(polys: list[tuple[int, list[np.ndarray]]],
         walk_face[wid] = order[wid]
     for h, i in hole_owner.items():
         walk_face[h] = order[i]
+    if cut_lines:
+        per_face_lines: dict[int, set[int]] = defaultdict(set)
+        for eid, net in enumerate(arr.net):
+            lids = [CUT_LINE_BASE - p for p in net if p <= CUT_LINE_BASE]
+            if not lids:
+                continue
+            for h in (2 * eid, 2 * eid + 1):
+                fidx = walk_face.get(arr.walk_of[h], -1)
+                if fidx >= 0:
+                    per_face_lines[fidx].update(lids)
+        for fidx, lids in per_face_lines.items():
+            face_list[fidx].lines = sorted(lids)
+    if not with_adjacency:
+        return face_list
     adj: dict[tuple[int, int], float] = {}
     for eid, (x1, y1, x2, y2) in enumerate(arr.edges):
         fa = walk_face.get(arr.walk_of[2 * eid], -1)

@@ -93,6 +93,18 @@ def load(b: bytes):
     return kind, payload
 
 
+def load_coords(b: bytes) -> np.ndarray:
+    """All coordinates of any supported WKB geometry, stacked (n, 2)."""
+    kind, payload = load(b)
+    if kind == "point":
+        return payload.reshape(1, 2)
+    if kind == "linestring":
+        return payload
+    if kind == "polygon":
+        return np.vstack(payload)
+    return np.vstack([r for p in payload for r in p])
+
+
 def load_polygons(b: bytes) -> list[list[np.ndarray]]:
     """Any polygonal WKB -> list of polygons (each list of rings)."""
     kind, payload = load(b)

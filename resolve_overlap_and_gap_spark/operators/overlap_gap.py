@@ -57,8 +57,7 @@ def wkb_bounds(geoms: pd.Series) -> pd.DataFrame:
     """Arrow-batched bounds of WKB geometries (numpy per batch)."""
     out = np.empty((len(geoms), 4), dtype=np.float64)
     for i, b in enumerate(geoms):
-        polys = wkb.load_polygons(bytes(b))
-        allc = np.vstack([r for p in polys for r in p])
+        allc = wkb.load_coords(bytes(b))
         out[i] = (allc[:, 0].min(), allc[:, 1].min(), allc[:, 0].max(), allc[:, 1].max())
     return pd.DataFrame(out, columns=["xmin", "ymin", "xmax", "ymax"])
 
