@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""spark-submit entry point (north rule: deployed via
+``spark-submit --py-files`` on multi-executor clusters).
+
+Usage:
+  spark-submit --py-files rog_spark.zip main.py detect  <sf_dir> <out_dir>
+  spark-submit --py-files rog_spark.zip main.py resolve <sf_dir> <out_dir>
+  spark-submit --py-files rog_spark.zip main.py healed  <sf_dir> <out_dir>
+
+Build the zip with:
+  cd <repo> && zip -qr rog_spark.zip resolve_overlap_and_gap_spark
+
+Writes the result parquet to <out_dir> and prints a one-line JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    cmd, sf_dir, out_dir = sys.argv[1], sys.argv[2], sys.argv[3]
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName(f"rog-{cmd}").getOrCreate()
+    from resolve_overlap_and_gap_spark.config import EngineConfig
+    from resolve_overlap_and_gap_spark.plans import queries as Q
+
+    cfg = EngineConfig(snap_tolerance=1e-5, min_area_to_keep=1e-4)
+    layer = Q.derived_polygon_layer(spark, sf_dir)
+    res = Q._density_res(spark, sf_dir)
+    t0 = time.monotonic()
+    if cmd == "detect":
+        from resolve_overlap_and_gap_spark.operators.overlap_gap import detect_all
+
+        out = detect_all(layer, cfg, res=res)
+    elif cmd == "resolve":
+        from resolve_overlap_and_gap_spark.operators.resolve import resolve
+
+        out = resolve(layer, cfg, res=res)
+    elif cmd == "healed":
+        from resolve_overlap_and_gap_spark.operators.border import border_gap_merge
+        from resolve_overlap_and_gap_spark.operators.resolve import resolve
+
+        out = border_gap_merge(layer, resolve(layer, cfg, res=res), cfg, res=res)
+    else:
+        raise SystemExit(f"unknown command {cmd}")
+    out.write.mode("overwrite").parquet(out_dir)
+    n = spark.read.parquet(out_dir).count()
+    print(json.dumps({"cmd": cmd, "rows": n, "sec": round(time.monotonic() - t0, 2),
+                      "out": out_dir}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
