@@ -74,11 +74,14 @@ def rings_to_segments(polys: list[tuple[int, list[np.ndarray]]]):
 
 
 def _bbox_pairs(S: np.ndarray, chunk: int = 1024) -> tuple[np.ndarray, np.ndarray]:
-    """Candidate intersecting pairs (i<j) by bbox overlap — fully
-    vectorized, chunked broadcast; returns index arrays."""
+    """Candidate intersecting pairs (i<j) by bbox overlap — chunked
+    broadcast for small inputs, uniform grid binning for large ones
+    (the O(m^2) broadcast dominates above a few thousand segments)."""
     m = len(S)
     x1 = np.minimum(S[:, 0], S[:, 2]); x2 = np.maximum(S[:, 0], S[:, 2])
     y1 = np.minimum(S[:, 1], S[:, 3]); y2 = np.maximum(S[:, 1], S[:, 3])
+    if m > 4096:
+        return _bbox_pairs_binned(S, x1, y1, x2, y2)
     outs_i, outs_j = [], []
     for i0 in range(0, m, chunk):
         i1 = min(i0 + chunk, m)
@@ -99,6 +102,49 @@ def _bbox_pairs(S: np.ndarray, chunk: int = 1024) -> tuple[np.ndarray, np.ndarra
     if not outs_i:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     return np.concatenate(outs_i), np.concatenate(outs_j)
+
+
+def _bbox_pairs_binned(S, x1, y1, x2, y2) -> tuple[np.ndarray, np.ndarray]:
+    """Uniform-grid candidate generation: bin segment bboxes into cells
+    sized by the median bbox extent; exact bbox check within bins; pairs
+    deduped via packed keys."""
+    m = len(S)
+    ext = np.median(np.maximum(x2 - x1, y2 - y1)) + 1.0
+    gx0, gy0 = x1.min(), y1.min()
+    bx1 = ((x1 - gx0) / ext).astype(np.int64)
+    bx2 = ((x2 - gx0) / ext).astype(np.int64)
+    by1 = ((y1 - gy0) / ext).astype(np.int64)
+    by2 = ((y2 - gy0) / ext).astype(np.int64)
+    # explode each segment to its bins (bounded: bbox ~ median extent)
+    seg_ids, bins = [], []
+    for i in range(m):
+        for bx in range(bx1[i], bx2[i] + 1):
+            for by in range(by1[i], by2[i] + 1):
+                seg_ids.append(i)
+                bins.append(bx << 32 | by)
+    seg_ids = np.asarray(seg_ids, np.int64)
+    bins = np.asarray(bins, np.int64)
+    order = np.argsort(bins, kind="stable")
+    seg_ids, bins = seg_ids[order], bins[order]
+    starts = np.nonzero(np.r_[True, bins[1:] != bins[:-1]])[0]
+    ends = np.r_[starts[1:], len(bins)]
+    keys = []
+    for s0, e0 in zip(starts, ends):
+        grp = seg_ids[s0:e0]
+        if len(grp) < 2:
+            continue
+        a, b = np.meshgrid(grp, grp)
+        ii, jj = a.ravel(), b.ravel()
+        k = ii < jj
+        keys.append(ii[k] * m + jj[k])
+    if not keys:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    uk = np.unique(np.concatenate(keys))
+    I, J = uk // m, uk % m
+    ok = (
+        (x1[I] <= x2[J]) & (x2[I] >= x1[J]) & (y1[I] <= y2[J]) & (y2[I] >= y1[J])
+    )
+    return I[ok], J[ok]
 
 
 def _cross(ox, oy, ax, ay, bx, by) -> int:
@@ -588,20 +634,18 @@ def union_faces(polys: list[tuple[int, list[np.ndarray]]]) -> list[Face]:
     arr = Arrangement(S, pid, wt)
     winding = label_walks(arr)
 
-    def covered(wid: int) -> bool:
-        return any(v > 0 for v in winding[wid].values())
-
-    segs = []
-    for eid, (x1, y1, x2, y2) in enumerate(arr.edges):
-        inl = covered(arr.walk_of[2 * eid])
-        inr = covered(arr.walk_of[2 * eid + 1])
-        if inl == inr:
-            continue
-        # orient with interior on the left
-        segs.append((x1, y1, x2, y2) if inl else (x2, y2, x1, y1))
-    if not segs:
+    cov = np.fromiter(
+        (any(v > 0 for v in w.values()) for w in winding), dtype=bool, count=len(winding)
+    )
+    inl = cov[arr.walk_of[0::2]]
+    inr = cov[arr.walk_of[1::2]]
+    keep = inl != inr
+    if not keep.any():
         return []
-    S2 = np.asarray(segs, dtype=np.int64)
+    E = arr.edges[keep]
+    fl = inl[keep]
+    # orient with interior on the left
+    S2 = np.where(fl[:, None], E, E[:, [2, 3, 0, 1]]).astype(np.int64)
     arr2 = Arrangement(S2, np.zeros(len(S2), np.int64), np.ones(len(S2), np.int64))
     w2 = label_walks(arr2)
     pos = [i for i, a in enumerate(arr2.walk_area2) if a > 0]
