@@ -39,6 +39,13 @@ BENCH_QUERIES = [
     "simhash",
     "jaccard_pairs",
     "cosine_topk",
+    "lsh_pairs",
+    "simhash_neardup",
+    "top_terms",
+    # temporal / geodesic joins
+    "asof_join",
+    "dwithin_geo",
+    "tiles_to_vector",
     # geometry engine (Arrow-batched arrangement kernels)
     "detect_polygons",
     "resolve_polygons",

@@ -145,3 +145,41 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str
     for i in range(bits):
         expr = expr + F.shiftleft(F.col(f"b{i}"), i)
     return per.select("doc_id", expr.alias("simhash"))
+
+
+def simhash_neardup_pairs(sh: DataFrame, bits: int = 16, bands: int = 4,
+                          max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate pairs: hamming(simhash_a, simhash_b) <=
+    max_hamming, candidates via band blocking (pigeonhole: with
+    max_hamming < bands, at least one of `bands` equal-width bit-bands is
+    identical between any near-dup pair, so the band equi-join is a strict
+    superset of the answer — never a cross join). Exact hamming refine is
+    JVM-side xor + bit_count.
+
+    Requires max_hamming < bands for completeness (asserted)."""
+    assert max_hamming < bands, "pigeonhole completeness needs max_hamming < bands"
+    rows = bits // bands
+    mask = (1 << rows) - 1
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash"), b * rows).bitwiseAND(F.lit(mask)).alias("band_val"),
+            ) for b in range(bands)
+        ])).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band_idx", "bk.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from resolve_overlap_and_gap_spark import derive, grid
@@ -675,6 +675,194 @@ def flagship(spark: SparkSession, sf_dir: str, scale: float = 8.0) -> DataFrame:
     )
 
 
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs: band the 8-hash signature into 4 bands
+    of 2, bucket-join per band, distinct — the scale path of minhash dedup
+    (the sig join is an equi-join on the band key, never all-pairs)."""
+    sh = dedup.shingles(_read(spark, sf_dir, "documents"), k=3)
+    sig = dedup.minhash_signatures(sh, n_hashes=N_MINHASH)
+    return dedup.minhash_lsh_pairs(sig, bands=4, rows_per_band=2)
+
+
+def o_lsh_pairs() -> str:
+    hashes = ",\n               ".join(
+        f"min({dedup.h32_of_sql('shingle', f':{i}', DUCKDB)}) as mh{i}"
+        for i in range(N_MINHASH)
+    )
+    band_joins = "\n        union\n".join(
+        f"""select a.doc_id as id_a, b.doc_id as id_b
+            from sig a join sig b
+              on a.mh{2 * b} = b.mh{2 * b} and a.mh{2 * b + 1} = b.mh{2 * b + 1}
+            where a.doc_id < b.doc_id"""
+        for b in range(4)
+    )
+    return f"""
+        with sh as ({dedup.shingles_duckdb_sql(3)}),
+        sig as (select doc_id, {hashes} from sh group by doc_id)
+        {band_joins}
+    """
+
+
+SIMHASH_MAXHAM = 3
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 over 16 bits) via pigeonhole
+    band blocking + exact xor/bit_count refine."""
+    sh = dedup.simhash(_read(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
+    return dedup.simhash_neardup_pairs(sh, bits=SIMHASH_BITS, bands=4,
+                                       max_hamming=SIMHASH_MAXHAM)
+
+
+def o_simhash_neardup() -> str:
+    return f"""
+        with sh as ({o_simhash()})
+        select a.doc_id as id_a, b.doc_id as id_b,
+               cast(bit_count(xor(a.simhash, b.simhash)) as bigint) as hamming
+        from sh a, sh b
+        where a.doc_id < b.doc_id
+          and bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAXHAM}
+    """
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event gets the user's most recent order
+    (o_orderdate <= ts; ties by max o_orderkey) — union + window
+    formulation, one shuffle, no inequality join (operators/asof.py)."""
+    from resolve_overlap_and_gap_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    orders = _read(spark, sf_dir, "orders").selectExpr(
+        "o_custkey as user_id", "o_orderdate", "o_orderkey"
+    )
+    out = asof_join(ev, orders, key="user_id", left_ts="ts",
+                    right_ts="o_orderdate", payload_cols=["o_orderkey"],
+                    tie_col="o_orderkey")
+    return out.selectExpr("event_id", "user_id", "o_orderkey as last_order_key")
+
+
+def o_asof_join() -> str:
+    return """
+        with cand as (
+          select e.event_id, e.user_id, o.o_orderkey,
+                 row_number() over (partition by e.event_id
+                                    order by o.o_orderdate desc, o.o_orderkey desc) as rn
+          from events e join orders o
+            on o.o_custkey = e.user_id and o.o_orderdate <= e.ts)
+        select event_id, user_id, o_orderkey as last_order_key
+        from cand where rn = 1
+    """
+
+
+DWITHIN_KM = 150.0
+DWITHIN_QMOD = 10
+
+
+def q_dwithin_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic ST_DWithin join: customer probes x order points within
+    150 km great-circle distance — latitude-band equi-join candidates +
+    exact haversine refine (operators/geodist.py)."""
+    from resolve_overlap_and_gap_spark.operators.geodist import dwithin_geodesic_join
+
+    pts = _points(spark, sf_dir, "orders", "o_orderkey")
+    qs = _points(spark, sf_dir, "customer", "c_custkey").where(
+        F.col("pid") % DWITHIN_QMOD == 0
+    ).selectExpr("pid as qid", "px as qx", "py as qy")
+    return dwithin_geodesic_join(qs, pts, DWITHIN_KM)
+
+
+def o_dwithin_geo() -> str:
+    from resolve_overlap_and_gap_spark.operators.geodist import haversine_sql
+
+    d = haversine_sql("q.qy", "q.qx", "p.py", "p.px")
+    return f"""
+        with p as (select * from {_points_cte_duck('orders', 'o_orderkey')}),
+        q as (select pid as qid, px as qx, py as qy
+              from {_points_cte_duck('customer', 'c_custkey')}
+              where pid % {DWITHIN_QMOD} = 0)
+        select q.qid, p.pid, cast(floor({d} * 100.0) as bigint) as dist_x100
+        from q, p
+        where {d} <= {DWITHIN_KM!r}
+    """
+
+
+def q_tiles_to_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster->vector: reconstruct each feature's raster extent (the bbox of
+    its assigned tiles) from the tile assignment — the inverse of
+    tile_assign, closing the raster<->vector loop of the north rule."""
+    n = 1 << TILE_RES
+    ta = q_tile_assign(spark, sf_dir)
+    return (
+        ta.selectExpr("bid", f"cast(floor(tile_id / {n}.0) as bigint) as ix",
+                      f"tile_id % {n} as iy")
+        .groupBy("bid")
+        .agg(F.min("ix").alias("ix0"), F.max("ix").alias("ix1"),
+             F.min("iy").alias("iy0"), F.max("iy").alias("iy1"),
+             F.count("*").alias("n_tiles"))
+    )
+
+
+def o_tiles_to_vector() -> str:
+    n = 1 << TILE_RES
+    return f"""
+        with ta as ({o_tile_assign()})
+        select bid, min(cast(floor(tile_id / {n}.0) as bigint)) as ix0,
+               max(cast(floor(tile_id / {n}.0) as bigint)) as ix1,
+               min(tile_id % {n}) as iy0, max(tile_id % {n}) as iy1,
+               count(*) as n_tiles
+        from ta group by 1
+    """
+
+
+TOP_TERMS_K = 20
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary stats: top-k tokens by document frequency (distinct docs
+    containing the token), deterministic tie-break by token — the corpus
+    profiling step of a training-data pipeline."""
+    norm = dedup.normalize_sql("text", SPARK)
+    toks = (
+        _read(spark, sf_dir, "documents")
+        .selectExpr("cast(doc_id as bigint) as doc_id", f"explode(split({norm}, ' ')) as tok")
+        .distinct()
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    # distributed top-k (TakeOrderedAndProject) first; the rank window then
+    # runs over only k rows — never a single-partition window over the corpus
+    top = counts.orderBy(F.col("df").desc(), F.col("tok").asc()).limit(TOP_TERMS_K)
+    w = Window.orderBy(F.col("df").desc(), F.col("tok").asc())
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
+def o_top_terms() -> str:
+    norm = dedup.normalize_sql("text", DUCKDB)
+    return f"""
+        with toks as (
+          select distinct cast(doc_id as bigint) as doc_id,
+                 unnest(string_split({norm}, ' ')) as tok
+          from documents),
+        counts as (select tok, count(*) as df from toks group by 1)
+        select tok, df, rn from (
+          select tok, df,
+                 row_number() over (order by df desc, tok asc) as rn
+          from counts) t
+        where rn <= {TOP_TERMS_K}
+    """
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (hash-seeded centroids + Lloyd
+    refinement + nprobe bucket search). Approximate by design — rows-only
+    driver check; recall >= brute-force floor and nprobe monotonicity are
+    asserted in tests/test_similarity.py."""
+    emb = _read(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id as pid", "transform(embedding, x -> cast(x as double)) as vec"
+    )
+    qs = emb.where(F.col("pid") % COS_QMOD == 0).selectExpr("pid as qid", "vec as qvec")
+    return similarity.ivf_ann_topk(emb, qs, KNN_K, dim=64).select("qid", "pid", "rank")
+
+
 # ------------------------------------------------------------ the registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -698,6 +886,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cells_outside_in": q_cells_outside_in,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
+        "lsh_pairs": q_lsh_pairs,
+        "simhash_neardup": q_simhash_neardup,
+        "asof_join": q_asof_join,
+        "dwithin_geo": q_dwithin_geo,
+        "tiles_to_vector": q_tiles_to_vector,
+        "top_terms": q_top_terms,
+        "ann_ivf": q_ann_ivf,
         "detect_polygons": q_detect_polygons,
         "resolve_polygons": q_resolve_polygons,
         "dissolve_polygons": q_dissolve_polygons,
@@ -728,4 +923,10 @@ def oracle_sql() -> dict[str, str]:
         "cells_outside_in": o_cells_outside_in(),
         "sessionize": o_sessionize(),
         "event_windows": o_event_windows(),
+        "lsh_pairs": o_lsh_pairs(),
+        "simhash_neardup": o_simhash_neardup(),
+        "asof_join": o_asof_join(),
+        "dwithin_geo": o_dwithin_geo(),
+        "tiles_to_vector": o_tiles_to_vector(),
+        "top_terms": o_top_terms(),
     }
