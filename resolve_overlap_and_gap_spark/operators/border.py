@@ -58,6 +58,10 @@ def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
     """
     g = cfg.snap_tolerance
     spark = pieces.sparkSession
+    # pieces feeds BOTH the sliver-candidate join and the final owner
+    # dissolve — materialize once or the whole resolve pipeline recomputes
+    # per consumer (measured 2x wall on the healed pipeline)
+    pieces = pieces.localCheckpoint()
 
     # 1. border-touching gap faces from detection. Only pieces below
     #    min_area can be part of a cross-border sliver (if any piece is

@@ -57,7 +57,17 @@ def _cells_in_rings(queries: DataFrame, res: int, ring: int) -> DataFrame:
     ).dropDuplicates(["qid", "cell_id"])
 
 
-def knn_cell_ring(points: DataFrame, queries: DataFrame, k: int, res: int = 8,
+def auto_res(n_points: int, per_cell: int = 16) -> int:
+    """Density-adaptive grid resolution (the content-balanced principle of
+    function_resolve_overlap_gap_init.sql:76-90 applied to kNN): pick res so
+    a 3x3 ring-1 window holds ~9*per_cell points — most queries then finish
+    in one ring instead of sweeping empty cells of a too-fine grid."""
+    import math
+
+    return max(2, min(int(math.log(max(n_points / per_cell, 1.0), 4)), 10))
+
+
+def knn_cell_ring(points: DataFrame, queries: DataFrame, k: int, res: int | None = None,
                   max_ring: int | None = None) -> DataFrame:
     """Exact kNN by expanding cell rings. A query is finished once its kth
     candidate distance is <= (ring * min_cell_side)^2 — no closer point can
@@ -65,7 +75,13 @@ def knn_cell_ring(points: DataFrame, queries: DataFrame, k: int, res: int = 8,
 
     The reference's analog is the content-grid bounded neighbor join; ring
     expansion replaces its `&&` envelope expansion (SURVEY.md J-table note).
+
+    Each ring's top-k and finished-set are persisted: the driver loop probes
+    them (stats + isEmpty) and the final union reads them again — without
+    persistence every ring's candidate join would recompute ~3x.
     """
+    if res is None:
+        res = auto_res(points.count())
     n = 1 << res
     cell_h = 180.0 / n  # min cell side (degrees)
     if max_ring is None:
@@ -75,6 +91,7 @@ def knn_cell_ring(points: DataFrame, queries: DataFrame, k: int, res: int = 8,
     remaining = queries
     ring = 1
     done_parts: list[DataFrame] = []
+    to_unpersist: list[DataFrame] = []
     while ring <= max_ring:
         cand_cells = _cells_in_rings(remaining, res, ring)
         j = cand_cells.join(pts, "cell_id").where(F.col("pid") != F.col("qid"))
@@ -83,12 +100,15 @@ def knn_cell_ring(points: DataFrame, queries: DataFrame, k: int, res: int = 8,
             (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
             + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy")),
         )
-        top = _topk(scored, k).select("qid", "pid", "rank", "d2")
+        top = _topk(scored, k).select("qid", "pid", "rank", "d2").persist()
+        to_unpersist.append(top)
         guarantee = (ring * cell_h) ** 2
         stats = top.groupBy("qid").agg(F.max("d2").alias("kth_d2"), F.count("*").alias("n_found"))
         finished_ids = stats.where((F.col("n_found") >= k) & (F.col("kth_d2") <= guarantee)).select("qid")
         if ring >= max_ring:
             finished_ids = stats.select("qid")
+        finished_ids = finished_ids.persist()
+        to_unpersist.append(finished_ids)
         done_parts.append(top.join(F.broadcast(finished_ids), "qid"))
         remaining = remaining.join(F.broadcast(finished_ids), "qid", "left_anti")
         if remaining.isEmpty():
@@ -97,4 +117,8 @@ def knn_cell_ring(points: DataFrame, queries: DataFrame, k: int, res: int = 8,
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.unionByName(p)
+    out = out.localCheckpoint()  # materialize before releasing ring caches
+    for df in to_unpersist:
+        df.unpersist()
+    pts.unpersist()
     return out

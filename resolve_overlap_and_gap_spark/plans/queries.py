@@ -210,7 +210,7 @@ def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = pts.where(F.col("pid") % KNN_QMOD == 0).selectExpr(
         "pid as qid", "px as qx", "py as qy"
     )
-    return knn.knn_cell_ring(pts, qs, KNN_K, res=7).select("qid", "pid", "rank")
+    return knn.knn_cell_ring(pts, qs, KNN_K).select("qid", "pid", "rank")
 
 
 def o_knn() -> str:
@@ -606,7 +606,9 @@ def q_resolve_healed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from resolve_overlap_and_gap_spark.operators.border import border_gap_merge
     from resolve_overlap_and_gap_spark.operators.resolve import resolve
 
-    layer = derived_polygon_layer(spark, sf_dir)
+    # the derived layer feeds resolve AND the border pass's detection —
+    # persist so the Arrow n-gon derivation runs once
+    layer = derived_polygon_layer(spark, sf_dir).persist()
     cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=1e-4)
     res = _density_res(spark, sf_dir)
     pieces = resolve(layer, cfg, res=res)
@@ -851,6 +853,36 @@ def o_top_terms() -> str:
     """
 
 
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN all-pairs top-k (random-hyperplane signatures,
+    bucket equi-join, exact cosine re-rank inside buckets). Approximate —
+    rows-only driver check; bucket-collision recall asserted in
+    tests/test_similarity.py."""
+    emb = _read(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id as pid", "transform(embedding, x -> cast(x as double)) as vec"
+    )
+    return similarity.lsh_ann_topk(emb, KNN_K, dim=64).select("qid", "pid", "rank")
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + feature extraction: deterministic fake media
+    payloads (binary column) -> mapInPandas Arrow-batched decode ->
+    grid-pooled features. Rows-only driver check (payload bytes come from a
+    numpy RNG no SQL engine reproduces); schema/batch-shape invariants in
+    tests/test_multimodal.py. Media count scales with the documents table."""
+    from resolve_overlap_and_gap_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    n = _read(spark, sf_dir, "documents").count()
+    media = synthesize_media(spark, n, partitions=spark.sparkContext.defaultParallelism)
+    return extract_features(media).selectExpr(
+        "media_id", "width", "height", "channels",
+        "cast(floor(mean_byte * 100.0) as bigint) as mean_byte_x100",
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors (hash-seeded centroids + Lloyd
     refinement + nprobe bucket search). Approximate by design — rows-only
@@ -893,6 +925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiles_to_vector": q_tiles_to_vector,
         "top_terms": q_top_terms,
         "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
+        "multimodal_features": q_multimodal,
         "detect_polygons": q_detect_polygons,
         "resolve_polygons": q_resolve_polygons,
         "dissolve_polygons": q_dissolve_polygons,
