@@ -42,9 +42,11 @@ BENCH_QUERIES = [
     "lsh_pairs",
     "simhash_neardup",
     "top_terms",
-    # temporal / geodesic joins
+    # temporal / geodesic joins, reprojection
     "asof_join",
+    "interval_count",
     "dwithin_geo",
+    "mercator",
     "tiles_to_vector",
     # geometry engine (Arrow-batched arrangement kernels)
     "detect_polygons",

@@ -853,6 +853,63 @@ def o_top_terms() -> str:
     """
 
 
+def q_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Transform analog: lon/lat -> spherical web-mercator meters
+    (geom/project.py), floored to cm for engine-portable integers."""
+    from resolve_overlap_and_gap_spark.geom.project import mercator_x_sql, mercator_y_sql
+
+    return _points(spark, sf_dir, "orders", "o_orderkey").selectExpr(
+        "pid",
+        f"cast(floor({mercator_x_sql('px')} * 100.0) as bigint) as mx_x100",
+        f"cast(floor({mercator_y_sql('py')} * 100.0) as bigint) as my_x100",
+    )
+
+
+def o_mercator() -> str:
+    from resolve_overlap_and_gap_spark.geom.project import mercator_x_sql, mercator_y_sql
+
+    return f"""
+        select pid,
+               cast(floor({mercator_x_sql('px')} * 100.0) as bigint) as mx_x100,
+               cast(floor({mercator_y_sql('py')} * 100.0) as bigint) as my_x100
+        from {_points_cte_duck('orders', 'o_orderkey')}
+    """
+
+
+INTERVAL_DAYS = 1
+INTERVAL_QMOD = 10
+
+
+def q_interval_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: for every 10th event, count same-user events in the
+    following 24 h — time-bucketed equi-join, never an inequality join
+    (operators/rangejoin.py)."""
+    from resolve_overlap_and_gap_spark.operators.rangejoin import interval_count_join
+
+    ev = _read(spark, sf_dir, "events")
+    probes = ev.where(F.col("event_id") % INTERVAL_QMOD == 0).selectExpr(
+        "user_id as key", "event_id as probe_id", "ts as t0"
+    )
+    facts = ev.selectExpr("user_id as key", "ts as ft")
+    return interval_count_join(probes, facts, INTERVAL_DAYS).withColumnsRenamed(
+        {"key": "user_id", "probe_id": "event_id"}
+    )
+
+
+def o_interval_count() -> str:
+    secs = INTERVAL_DAYS * 86400
+    return f"""
+        select p.user_id, p.event_id, count(*) as n_in_range
+        from (select user_id, event_id, ts from events
+              where event_id % {INTERVAL_QMOD} = 0) p
+        join events e
+          on e.user_id = p.user_id
+         and epoch(e.ts) >= epoch(p.ts)
+         and epoch(e.ts) < epoch(p.ts) + {secs}
+        group by 1, 2
+    """
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN all-pairs top-k (random-hyperplane signatures,
     bucket equi-join, exact cosine re-rank inside buckets). Approximate —
@@ -924,6 +981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_geo": q_dwithin_geo,
         "tiles_to_vector": q_tiles_to_vector,
         "top_terms": q_top_terms,
+        "mercator": q_mercator,
+        "interval_count": q_interval_count,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "multimodal_features": q_multimodal,
@@ -963,4 +1022,6 @@ def oracle_sql() -> dict[str, str]:
         "dwithin_geo": o_dwithin_geo(),
         "tiles_to_vector": o_tiles_to_vector(),
         "top_terms": o_top_terms(),
+        "mercator": o_mercator(),
+        "interval_count": o_interval_count(),
     }
