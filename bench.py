@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     # JVM-side relational/spatial core
     "cell_count",
     "pip_join",
+    "pip_polygon",
     "box_overlaps",
     "tile_assign",
     "tile_owner",

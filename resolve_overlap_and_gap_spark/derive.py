@@ -88,3 +88,30 @@ def box_select(key_col: str, id_alias: str, dialect: str, scale: float = 1.0) ->
         f"{b['xmax']} as xmax",
         f"{b['ymax']} as ymax",
     ]
+
+
+def phase_sql(key_expr: str, dialect: str) -> str:
+    """Rotation phase in [0, 6.283) radians."""
+    return f"(cast({h32(key_expr, ':rot', dialect)} % 6283 as double) / 1000.0)"
+
+
+def regular_ngon_vertices_sql(key_expr: str, k: int, dialect: str,
+                              scale: float = 1.0) -> list[tuple[str, str]]:
+    """Vertices of a regular (convex, counterclockwise) k-gon footprint
+    around the derived page point, rotated by a per-key phase. The SAME
+    literal angle constants render in both dialects, and the numpy mirror
+    (sources.pages.with_regular_ngon) uses the same formula, so the Spark
+    WKB path and the SQL oracle see identical vertices."""
+    import math
+
+    cx, cy = lon_sql(key_expr, dialect), lat_sql(key_expr, dialect)
+    r = halfwidth_sql(key_expr, dialect, scale)
+    ph = phase_sql(key_expr, dialect)
+    out = []
+    for i in range(k):
+        a = repr(2.0 * math.pi * i / k)
+        out.append((
+            f"({cx} + {r} * cos({ph} + {a}))",
+            f"({cy} + {r} * sin({ph} + {a}))",
+        ))
+    return out

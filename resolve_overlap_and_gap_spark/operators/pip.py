@@ -1,0 +1,66 @@
+"""Point-in-polygon join over real WKB polygons (the north rule's
+"joined by cell prefix for point-in-polygon"; reference semantics = the
+ST_Intersects point-probe joins, e.g.
+function_resolve_overlap_gap_block_cell.sql:22-29).
+
+Plan shape: polygons explode to covering cells (Arrow bounds UDF + JVM
+explode), points key to their single cell — the equi-join on cell_id is the
+R-tree replacement. The exact refine runs in an Arrow-batched kernel that
+decodes each candidate polygon ONCE per batch group and tests all its
+candidate points vectorized (geom.core.points_in_polygon).
+
+A point has exactly one cell, so a (point, polygon) candidate appears at
+most once — no post-join dedup needed (unlike box-box pairs).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from resolve_overlap_and_gap_spark import grid
+from resolve_overlap_and_gap_spark.geom import wkb
+from resolve_overlap_and_gap_spark.geom.core import points_in_polygon
+from resolve_overlap_and_gap_spark.operators.overlap_gap import with_cells
+
+PIP_SCHEMA = T.StructType([
+    T.StructField("point_id", T.LongType()),
+    T.StructField("poly_id", T.LongType()),
+])
+
+
+def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int) -> DataFrame:
+    """points: (pid, px, py); polys: (bid, geom WKB). -> (point_id, poly_id)."""
+    p_cells = with_cells(
+        polys.select(F.col("bid").alias("fid"), "geom"), res
+    ).select(F.col("fid").alias("poly_id"), "geom", "cell_id")
+    pt_cells = points.select(
+        F.col("pid").alias("point_id"), "px", "py",
+        grid.cell_id_col(F.col("px"), F.col("py"), res).alias("cell_id"),
+    )
+    cand = pt_cells.join(p_cells, "cell_id")
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            outs = []
+            for _, sub in pdf.groupby("poly_id", sort=False):
+                rings = wkb.load_polygons(bytes(sub["geom"].iloc[0]))[0]
+                pts = np.stack([sub["px"].to_numpy(np.float64),
+                                sub["py"].to_numpy(np.float64)], axis=1)
+                m = points_in_polygon(pts, [np.asarray(r, np.float64) for r in rings])
+                if m.any():
+                    outs.append(pd.DataFrame({
+                        "point_id": sub["point_id"].to_numpy()[m],
+                        "poly_id": sub["poly_id"].to_numpy()[m],
+                    }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return cand.mapInPandas(refine, PIP_SCHEMA)

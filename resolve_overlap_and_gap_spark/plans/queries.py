@@ -853,6 +853,53 @@ def o_top_terms() -> str:
     """
 
 
+PIP_POLY_K = 8
+
+
+def q_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real point-in-POLYGON join (not bbox): order points vs regular convex
+    8-gon part footprints — WKB polygons through the cell equi-join + Arrow
+    PIP-kernel refine (operators/pip.py). The oracle re-derives the same
+    vertices in SQL and tests 8 half-plane conditions."""
+    from resolve_overlap_and_gap_spark.operators.pip import point_in_polygon_join
+    from resolve_overlap_and_gap_spark.sources.pages import with_regular_ngon
+
+    pts = _points(spark, sf_dir, "orders", "o_orderkey")
+    centers = _points(spark, sf_dir, "part", "p_partkey")
+    polys = with_regular_ngon(centers, k=PIP_POLY_K).selectExpr("pid as bid", "geom")
+    return point_in_polygon_join(pts, polys, PIP_RES)
+
+
+def o_pip_polygon() -> str:
+    k = PIP_POLY_K
+    vs = derive.regular_ngon_vertices_sql("p_partkey", k, DUCKDB)
+    vcols = ",\n                 ".join(
+        f"{vx} as vx{i}, {vy} as vy{i}" for i, (vx, vy) in enumerate(vs)
+    )
+    xs = ", ".join(f"vx{i}" for i in range(k))
+    ys = ", ".join(f"vy{i}" for i in range(k))
+    halfplanes = " and ".join(
+        f"((vx{(i + 1) % k} - vx{i}) * (py - vy{i})"
+        f" - (vy{(i + 1) % k} - vy{i}) * (px - vx{i})) >= 0.0"
+        for i in range(k)
+    )
+    vnames = ", ".join(f"vx{i}, vy{i}" for i in range(k))
+    return f"""
+        with v0 as materialized (select cast(p_partkey as bigint) as bid,
+                 {vcols}
+                 from part),
+        v as materialized (select bid, {vnames},
+                 least({xs}) as bxmin, greatest({xs}) as bxmax,
+                 least({ys}) as bymin, greatest({ys}) as bymax
+                 from v0),
+        pts as (select * from {_points_cte_duck('orders', 'o_orderkey')})
+        select pts.pid as point_id, v.bid as poly_id
+        from pts, v
+        where px >= bxmin and px <= bxmax and py >= bymin and py <= bymax
+          and {halfplanes}
+    """
+
+
 def q_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Transform analog: lon/lat -> spherical web-mercator meters
     (geom/project.py), floored to cm for engine-portable integers."""
@@ -981,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_geo": q_dwithin_geo,
         "tiles_to_vector": q_tiles_to_vector,
         "top_terms": q_top_terms,
+        "pip_polygon": q_pip_polygon,
         "mercator": q_mercator,
         "interval_count": q_interval_count,
         "ann_ivf": q_ann_ivf,
@@ -1024,4 +1072,5 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": o_top_terms(),
         "mercator": o_mercator(),
         "interval_count": o_interval_count(),
+        "pip_polygon": o_pip_polygon(),
     }

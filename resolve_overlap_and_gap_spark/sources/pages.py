@@ -99,3 +99,32 @@ def with_footprint(df: DataFrame, key_col: str = "doc_id", scale: float = 1.0) -
     for k, v in b.items():
         out = out.withColumn(k, F.expr(v))
     return out
+
+
+def with_regular_ngon(df: DataFrame, k: int = 8, scale: float = 1.0,
+                      id_col: str = "pid") -> DataFrame:
+    """Regular convex k-gon WKB footprint from the derive.regular_ngon
+    formula — numpy mirror of the SQL so oracle vertices match exactly.
+    Needs derived px/py columns (with_point / derive.point_select)."""
+    @F.pandas_udf(T.BinaryType())
+    def ngon(pid: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
+        import hashlib
+
+        ids = pid.to_numpy(dtype=np.int64)
+        xs = px.to_numpy(dtype=np.float64)
+        ys = py.to_numpy(dtype=np.float64)
+        # h32(key, salt) mirrors derive.h32 (md5 prefix of "<key><salt>")
+        def h32(i: int, salt: str) -> int:
+            return int(hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:8], 16)
+
+        ang0 = 2.0 * np.pi * np.arange(k) / k
+        out = []
+        for j in range(len(ids)):
+            r = (0.05 + (h32(ids[j], ":w") % 5000) / 10000.0) * scale
+            ph = (h32(ids[j], ":rot") % 6283) / 1000.0
+            a = ph + ang0
+            ring = np.stack([xs[j] + r * np.cos(a), ys[j] + r * np.sin(a)], axis=1)
+            out.append(_wkb.dump_polygon([ring]))
+        return pd.Series(out)
+
+    return df.withColumn("geom", ngon(F.col(id_col), F.col("px"), F.col("py")))

@@ -51,3 +51,23 @@ def test_interval_count_join_matches_bruteforce(spark):
     }
     assert got == brute
     assert len(brute) > 0
+
+
+@pytest.mark.spark
+def test_point_in_polygon_join_with_hole(spark):
+    from resolve_overlap_and_gap_spark.geom import wkb
+    from resolve_overlap_and_gap_spark.operators.pip import point_in_polygon_join
+
+    shell = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    hole = np.array([[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0]])
+    donut = wkb.dump_polygon([shell, hole])
+    polys = spark.createDataFrame([(1, bytearray(donut))], "bid long, geom binary")
+    pts = spark.createDataFrame(
+        [(1, 2.0, 2.0),   # inside shell
+         (2, 5.0, 5.0),   # inside hole -> excluded
+         (3, 11.0, 5.0)],  # outside
+        "pid long, px double, py double",
+    )
+    got = {(r.point_id, r.poly_id)
+           for r in point_in_polygon_join(pts, polys, res=5).collect()}
+    assert got == {(1, 1)}
