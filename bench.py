@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "asof_join",
     "interval_count",
     "dwithin_geo",
+    "knn_geo",
     "mercator",
     "tiles_to_vector",
     # geometry engine (Arrow-batched arrangement kernels)

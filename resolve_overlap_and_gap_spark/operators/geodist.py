@@ -60,3 +60,22 @@ def dwithin_geodesic_join(
         .where(F.col("dist_km") <= radius_km)
         .selectExpr("qid", "pid", "cast(floor(dist_km * 100.0) as bigint) as dist_x100")
     )
+
+
+def knn_geodesic(points: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Exact geodesic kNN: haversine distance, ties by neighbor id.
+    Broadcast the (small) probe set; the per-probe top-k window runs after a
+    partial JVM-side filter. For the banded scale path see
+    dwithin_geodesic_join (radius queries) and knn.knn_cell_ring (planar)."""
+    from pyspark.sql import Window
+
+    d = haversine_sql("qy", "qx", "py", "px")
+    scored = points.crossJoin(F.broadcast(probes)).where(
+        F.col("pid") != F.col("qid")
+    ).withColumn("dist_km", F.expr(d))
+    w = Window.partitionBy("qid").orderBy(F.col("dist_km").asc(), F.col("pid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "pid", "rank")
+    )

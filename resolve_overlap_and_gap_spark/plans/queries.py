@@ -788,6 +788,35 @@ def o_dwithin_geo() -> str:
     """
 
 
+def q_knn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact geodesic kNN (haversine; the ST_Distance-spheroid measurement
+    path applied to the kNN operator)."""
+    from resolve_overlap_and_gap_spark.operators.geodist import knn_geodesic
+
+    pts = _points(spark, sf_dir, "orders", "o_orderkey")
+    qs = _points(spark, sf_dir, "customer", "c_custkey").where(
+        F.col("pid") % DWITHIN_QMOD == 0
+    ).selectExpr("pid as qid", "px as qx", "py as qy")
+    return knn_geodesic(pts, qs, KNN_K)
+
+
+def o_knn_geo() -> str:
+    from resolve_overlap_and_gap_spark.operators.geodist import haversine_sql
+
+    d = haversine_sql("q.qy", "q.qx", "p.py", "p.px")
+    return f"""
+        with p as (select * from {_points_cte_duck('orders', 'o_orderkey')}),
+        q as (select pid as qid, px as qx, py as qy
+              from {_points_cte_duck('customer', 'c_custkey')}
+              where pid % {DWITHIN_QMOD} = 0)
+        select qid, pid, rank from (
+          select q.qid, p.pid,
+                 row_number() over (partition by q.qid order by {d} asc, p.pid asc) as rank
+          from p, q where p.pid <> q.qid
+        ) t where rank <= {KNN_K}
+    """
+
+
 def q_tiles_to_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster->vector: reconstruct each feature's raster extent (the bbox of
     its assigned tiles) from the tile assignment — the inverse of
@@ -1026,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "asof_join": q_asof_join,
         "dwithin_geo": q_dwithin_geo,
+        "knn_geo": q_knn_geo,
         "tiles_to_vector": q_tiles_to_vector,
         "top_terms": q_top_terms,
         "pip_polygon": q_pip_polygon,
@@ -1068,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": o_simhash_neardup(),
         "asof_join": o_asof_join(),
         "dwithin_geo": o_dwithin_geo(),
+        "knn_geo": o_knn_geo(),
         "tiles_to_vector": o_tiles_to_vector(),
         "top_terms": o_top_terms(),
         "mercator": o_mercator(),

@@ -51,3 +51,15 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan or (
         "PushedFilters" in plan and "EqualTo(o_orderkey,42)" in plan
     )
+
+@pytest.mark.spark
+def test_banded_joins_no_nested_loop(spark):
+    """dwithin_geo / interval_count / pip_polygon plan as shuffle or
+    broadcast HASH joins on band/bucket/cell keys — never a nested-loop or
+    cartesian join (the inequality-join trap these operators exist to avoid)."""
+    from resolve_overlap_and_gap_spark.plans import queries as Q
+
+    for q in (Q.q_dwithin_geo, Q.q_interval_count, Q.q_pip_polygon, Q.q_asof_join):
+        plan = _plan(q(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
