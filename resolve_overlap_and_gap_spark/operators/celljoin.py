@@ -120,6 +120,7 @@ def content_balanced_cells(
     max_rows_in_each_cell: int,
     lon: str = "px",
     lat: str = "py",
+    with_hot: bool = False,
 ) -> DataFrame:
     """Content-balanced grid: refine any cell holding more than
     ``max_rows_in_each_cell`` points to its children, repeatedly — the exact
@@ -143,6 +144,7 @@ def content_balanced_cells(
     cur = pts.groupBy("cell_id").count().withColumn("res", F.lit(base_res))
     rows = cur.collect()  # frontier stats are small (one row per cell)
     results = []
+    hot_by_res: dict[int, list[int]] = {}
     res = base_res
     while True:
         done = [(r.cell_id, int(r["count"]), res) for r in rows
@@ -151,6 +153,7 @@ def content_balanced_cells(
         results.extend(done)
         if not hot or res >= max_res:
             break
+        hot_by_res[res] = [int(c) for c in hot]
         res += 1
         pts = (
             pts.where(F.col("cell_id").isin(hot))
@@ -160,10 +163,13 @@ def content_balanced_cells(
         )
         rows = pts.groupBy("cell_id").count().withColumn("res", F.lit(res)).collect()
     spark = points.sparkSession
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         [(int(c), int(n), int(r)) for c, n, r in results],
         "cell_id long, n_rows long, res int",
     )
+    if with_hot:
+        return out, hot_by_res
+    return out
 
 
 def assign_to_balanced_cells(points: DataFrame, cells: DataFrame, max_res: int,

@@ -204,6 +204,75 @@ def _detect_one_cell(pdf: pd.DataFrame, cfg: EngineConfig, res: int, g: float) -
 
 
 
+def assign_balanced_cells(features: DataFrame, cfg: EngineConfig,
+                          geom_col: str = "geom", id_col: str = "fid") -> DataFrame:
+    """Assign features to the content-balanced (mixed-resolution) cell
+    frontier: refine hot cells (by feature-center count) to children until
+    each holds <= max_rows_in_each_cell — cbg_content_based_balanced_grid
+    semantics (find_overlap_and_gap-pre.sql:208-236).
+
+    The frontier PARTITIONS the whole plane: a cell is a frontier cell iff
+    it is not hot and its parent chain from base resolution is all hot.
+    Cold cells — including cells holding zero feature centers — stay at the
+    coarsest resolution, so feature BODIES extending beyond any center are
+    still covered (quadtree descend below, not a semi-join against counted
+    cells, which would drop center-less area). Returns (fid, geom, ...,
+    cell_id) rows; shared by balanced detect and balanced resolve.
+
+    Hot sets are driver-side lists (one per refined level, log-of-skew
+    levels); at extreme frontiers swap the isin filters for broadcast joins.
+    """
+    from resolve_overlap_and_gap_spark.operators.celljoin import (
+        content_balanced_cells,
+    )
+
+    feats = features.select(
+        F.col(id_col).cast("long").alias("fid"), F.col(geom_col).alias("geom")
+    )
+    b = feats.withColumn("_b", wkb_bounds(F.col("geom")))
+    b = b.select("*", "_b.xmin", "_b.ymin", "_b.xmax", "_b.ymax").drop("_b")
+    b = b.withColumn("cx", (F.col("xmin") + F.col("xmax")) / 2).withColumn(
+        "cy", (F.col("ymin") + F.col("ymax")) / 2
+    )
+    b.cache()
+    _, hot_by_res = content_balanced_cells(
+        b, cfg.grid.base_resolution, cfg.grid.max_resolution,
+        cfg.grid.max_rows_in_each_cell, lon="cx", lat="cy", with_hot=True,
+    )
+
+    def cover_at(df: DataFrame, r: int) -> DataFrame:
+        return df.withColumn(
+            "cell_id",
+            F.explode(
+                grid.covering_cells_col(
+                    F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), r
+                )
+            ),
+        )
+
+    zmask = (1 << grid.RES_SHIFT) - 1
+    parts: list[DataFrame] = []
+    r = cfg.grid.base_resolution
+    cover = cover_at(b, r)
+    while True:
+        hot = hot_by_res.get(r, [])
+        if not hot:
+            parts.append(cover)
+            break
+        parts.append(cover.where(~F.col("cell_id").isin(hot)))
+        desc = cover.where(F.col("cell_id").isin(hot)).dropDuplicates(["fid"]).drop("cell_id")
+        child_cover = cover_at(desc, r + 1)
+        parent_id = F.lit(r << grid.RES_SHIFT).cast("long").bitwiseOR(
+            F.shiftright(F.col("cell_id").bitwiseAND(F.lit(zmask)), 2)
+        )
+        cover = child_cover.where(parent_id.isin(hot))
+        r += 1
+    assigned = parts[0]
+    for p in parts[1:]:
+        assigned = assigned.unionByName(p)
+    return assigned
+
+
 def detect_all_balanced(features: DataFrame, cfg: EngineConfig,
                         geom_col: str = "geom", id_col: str = "fid",
                         n_buckets: int = 256) -> DataFrame:
@@ -217,39 +286,8 @@ def detect_all_balanced(features: DataFrame, cfg: EngineConfig,
     id), so only the assignment changes: features explode to covering cells
     at every frontier resolution and semi-join the frontier (a broadcast of
     the small cell dim per resolution)."""
-    from resolve_overlap_and_gap_spark.operators.celljoin import (
-        content_balanced_cells,
-    )
-
     g = cfg.snap_tolerance
-    feats = features.select(
-        F.col(id_col).cast("long").alias("fid"), F.col(geom_col).alias("geom")
-    )
-    b = feats.withColumn("_b", wkb_bounds(F.col("geom")))
-    b = b.select("*", "_b.xmin", "_b.ymin", "_b.xmax", "_b.ymax").drop("_b")
-    b = b.withColumn("cx", (F.col("xmin") + F.col("xmax")) / 2).withColumn(
-        "cy", (F.col("ymin") + F.col("ymax")) / 2
-    )
-    b.cache()
-    balanced = content_balanced_cells(
-        b, cfg.grid.base_resolution, cfg.grid.max_resolution,
-        cfg.grid.max_rows_in_each_cell, lon="cx", lat="cy",
-    ).cache()
-    res_list = sorted(r["res"] for r in balanced.select("res").distinct().collect())
-    assigned = None
-    for r in res_list:
-        keyed = b.withColumn(
-            "cell_id",
-            F.explode(
-                grid.covering_cells_col(
-                    F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), r
-                )
-            ),
-        )
-        matched = keyed.join(
-            F.broadcast(balanced.where(F.col("res") == r).select("cell_id")), "cell_id"
-        )
-        assigned = matched if assigned is None else assigned.unionByName(matched)
+    assigned = assign_balanced_cells(features, cfg, geom_col, id_col)
     cells = assigned.withColumn("bucket", F.pmod(F.hash("cell_id"), F.lit(n_buckets)))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -231,6 +231,31 @@ def resolve(features: DataFrame, cfg: EngineConfig, res: int = 8,
     return cells.groupBy("bucket").applyInPandas(kernel, RESOLVE_SCHEMA)
 
 
+def resolve_balanced(features: DataFrame, cfg: EngineConfig,
+                     geom_col: str = "geom", id_col: str = "fid",
+                     n_buckets: int = 256) -> DataFrame:
+    """Resolve over the CONTENT-BALANCED grid — the reference's main
+    pipeline runs on exactly this grid (resolve_overlap_gap_init builds it
+    before any cell job, function_resolve_overlap_gap_init.sql:76-90). Hot
+    cells refine to children until <= max_rows_in_each_cell, so kernel work
+    per task is bounded regardless of data skew — the property that keeps
+    the 100TB run's stragglers bounded. The per-cell kernel is
+    resolution-agnostic (cell bounds derive from the Morton id)."""
+    from resolve_overlap_and_gap_spark.operators.overlap_gap import (
+        assign_balanced_cells,
+    )
+
+    assigned = assign_balanced_cells(features, cfg, geom_col, id_col)
+    cells = assigned.withColumn("bucket", F.pmod(F.hash("cell_id"), F.lit(n_buckets)))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _bucket_kernel(pdf, cfg, 0)  # res unused: bounds from cell id
+
+    return cells.select("cell_id", "bucket", "fid", "geom").groupBy(
+        "bucket"
+    ).applyInPandas(kernel, RESOLVE_SCHEMA)
+
+
 def resolve_layer(features: DataFrame, cfg: EngineConfig, res: int = 8,
                   geom_col: str = "geom", id_col: str = "fid") -> DataFrame:
     """Final layer: one row per owner with attributes re-attached (J3) and

@@ -639,6 +639,26 @@ def q_detect_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resolve_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve over the content-balanced (adaptive-resolution) grid — the
+    reference's main-pipeline grid. Rows-only driver check; equivalence with
+    the fixed-res resolve (owner set exact, areas within snap wobble) in
+    tests/test_resolve_balanced.py."""
+    from resolve_overlap_and_gap_spark.config import EngineConfig, GridConfig
+    from resolve_overlap_and_gap_spark.operators.resolve import resolve_balanced
+
+    layer = derived_polygon_layer(spark, sf_dir)
+    cfg = EngineConfig(
+        snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=1e-4,
+        grid=GridConfig(base_resolution=5, max_resolution=12, max_rows_in_each_cell=200),
+    )
+    return resolve_balanced(layer, cfg).select(
+        "cell_id", "owner",
+        F.size("other_ids").alias("n_others"),
+        F.expr("cast(floor(area * 1e9) as bigint)").alias("area_x1e9"),
+    )
+
+
 def q_dissolve_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dissolve (ST_Union GROUP BY key, A2): union of derived n-gon
     footprints per group of 100 pages; internal/overlap edges healed.
@@ -1069,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_polygons": q_dissolve_polygons,
         "resolve_healed": q_resolve_healed,
         "detect_balanced": q_detect_balanced,
+        "resolve_balanced": q_resolve_balanced,
     }
 
 
