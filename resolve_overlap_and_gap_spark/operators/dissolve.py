@@ -33,32 +33,76 @@ DISSOLVE_SCHEMA = T.StructType([
 ])
 
 
+def _bbox_components(polys: list) -> list[list[int]]:
+    """Connected components of the bbox-overlap graph via an x-sweep with an
+    active max-heap — only parts whose boxes touch can interact in a union,
+    so each component unions independently (tree-union semantics). Worst
+    case (everything overlapping in x) degrades to the single-arrangement
+    cost the decomposition replaces."""
+    import heapq
+
+    n = len(polys)
+    bb = np.empty((n, 4), dtype=np.int64)
+    for i, (_, rings) in enumerate(polys):
+        bb[i] = (min(r[:, 0].min() for r in rings), min(r[:, 1].min() for r in rings),
+                 max(r[:, 0].max() for r in rings), max(r[:, 1].max() for r in rings))
+    parent = np.arange(n)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    active: list[tuple[int, int]] = []
+    for i in np.argsort(bb[:, 0], kind="stable"):
+        x0 = bb[i, 0]
+        while active and active[0][0] < x0:
+            heapq.heappop(active)
+        for _, j in active:
+            if bb[i, 1] <= bb[j, 3] and bb[j, 1] <= bb[i, 3]:
+                parent[find(i)] = find(j)
+        heapq.heappush(active, (int(bb[i, 2]), int(i)))
+    comps: dict[int, list[int]] = {}
+    for i in range(n):
+        comps.setdefault(find(i), []).append(i)
+    return list(comps.values())
+
+
 def _union_one_group(key: int, geoms: list[bytes], grid_size: float) -> tuple:
+    from resolve_overlap_and_gap_spark.geom.core import ring_area2
+
     polys = []
     for b in geoms:
         for rings in wkb.load_polygons(bytes(b)):
             ir = [np.floor(np.asarray(r, np.float64) / grid_size + 0.5).astype(np.int64)
                   for r in rings]
             polys.append((0, ir))
-    if len(polys) == 1:
-        # fast path: a single polygon part IS its own union — skip the
-        # arrangement entirely (the common case after per-cell resolve)
-        from resolve_overlap_and_gap_spark.geom.core import ring_area2
 
-        rings = polys[0][1]
+    def single_part(rings) -> tuple[float, list]:
+        # a lone polygon IS its own union — skip the arrangement
         a2 = abs(ring_area2(rings[0].astype(np.float64)))
         for h in rings[1:]:
             a2 -= abs(ring_area2(h.astype(np.float64)))
-        mp = [[r.astype(np.float64) * grid_size for r in rings]]
-        return (key, a2 / 2.0 * grid_size * grid_size, 1, wkb.dump_multipolygon(mp))
-    out = union_faces(polys)
-    mp = [
-        [f.shell.astype(np.float64) * grid_size]
-        + [h.astype(np.float64) * grid_size for h in f.holes]
-        for f in out
-    ]
-    area = sum(f.area2 for f in out) / 2.0 * grid_size * grid_size
-    return (key, area, len(out), wkb.dump_multipolygon(mp))
+        return a2, [r.astype(np.float64) * grid_size for r in rings]
+
+    area2 = 0.0
+    mp: list[list[np.ndarray]] = []
+    n_parts = 0
+    for members in _bbox_components(polys):
+        if len(members) == 1:
+            a2, rings_f = single_part(polys[members[0]][1])
+            area2 += a2
+            mp.append(rings_f)
+            n_parts += 1
+            continue
+        out = union_faces([polys[i] for i in members])
+        for f in out:
+            area2 += f.area2
+            mp.append([f.shell.astype(np.float64) * grid_size]
+                      + [h.astype(np.float64) * grid_size for h in f.holes])
+            n_parts += 1
+    return (key, area2 / 2.0 * grid_size * grid_size, n_parts, wkb.dump_multipolygon(mp))
 
 
 def dissolve(df: DataFrame, key_col: str, grid_size: float,
