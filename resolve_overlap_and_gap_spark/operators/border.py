@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 
 from resolve_overlap_and_gap_spark.config import EngineConfig
 from resolve_overlap_and_gap_spark.geom import wkb
-from resolve_overlap_and_gap_spark.geom.arrangement import overlay, union_faces
+from resolve_overlap_and_gap_spark.geom.arrangement import Face, overlay, union_faces
 from resolve_overlap_and_gap_spark.operators.overlap_gap import detect_all, with_cells
 
 ASSIGN_SCHEMA = T.StructType([
@@ -78,7 +78,24 @@ def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
     gap_polys = []
     for b in gap_rows:
         gap_polys.extend((0, rings) for rings in _load_int_polys(b, g))
-    merged = union_faces(gap_polys) if gap_polys else []
+    # component decomposition: slivers from distant borders can't interact,
+    # so union per bbox-overlap component (same trick as dissolve.py)
+    from resolve_overlap_and_gap_spark.operators.dissolve import _bbox_components
+
+    merged = []
+    if gap_polys:
+        for members in _bbox_components(gap_polys):
+            if len(members) == 1:
+                rings = gap_polys[members[0]][1]
+                from resolve_overlap_and_gap_spark.geom.core import ring_area2
+
+                a2 = abs(ring_area2(rings[0].astype(np.float64)))
+                for h in rings[1:]:
+                    a2 -= abs(ring_area2(h.astype(np.float64)))
+                merged.append(Face(shell=rings[0], holes=list(rings[1:]),
+                                   winding={0: 1}, area2=int(a2)))
+            else:
+                merged.extend(union_faces([gap_polys[i] for i in members]))
     min_area2 = 2.0 * cfg.min_area_to_keep / (g * g)
     slivers = [f for f in merged if 0 < f.area2 < min_area2]
     if not slivers:
