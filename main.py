@@ -6,6 +6,9 @@ Usage:
   spark-submit --py-files rog_spark.zip main.py detect  <sf_dir> <out_dir>
   spark-submit --py-files rog_spark.zip main.py resolve <sf_dir> <out_dir>
   spark-submit --py-files rog_spark.zip main.py healed  <sf_dir> <out_dir>
+  spark-submit --py-files rog_spark.zip main.py query   <sf_dir> <out_dir> <name>
+      (<name> = any entry of the driver-contract registry, e.g. pip_polygon,
+       asof_join, minhash_sig — `main.py list` prints them)
 
 Build the zip with:
   cd <repo> && zip -qr rog_spark.zip resolve_overlap_and_gap_spark
@@ -21,7 +24,13 @@ import time
 
 
 def main() -> None:
-    cmd, sf_dir, out_dir = sys.argv[1], sys.argv[2], sys.argv[3]
+    cmd = sys.argv[1]
+    if cmd == "list":
+        from resolve_overlap_and_gap_spark.plans import queries as Q
+
+        print("\n".join(sorted(Q.queries())))
+        return
+    sf_dir, out_dir = sys.argv[2], sys.argv[3]
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName(f"rog-{cmd}").getOrCreate()
@@ -45,6 +54,9 @@ def main() -> None:
         from resolve_overlap_and_gap_spark.operators.resolve import resolve
 
         out = border_gap_merge(layer, resolve(layer, cfg, res=res), cfg, res=res)
+    elif cmd == "query":
+        name = sys.argv[4]
+        out = Q.queries()[name](spark, sf_dir)
     else:
         raise SystemExit(f"unknown command {cmd}")
     out.write.mode("overwrite").parquet(out_dir)

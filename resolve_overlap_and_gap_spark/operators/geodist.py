@@ -70,6 +70,11 @@ def knn_geodesic(points: DataFrame, probes: DataFrame, k: int) -> DataFrame:
     from pyspark.sql import Window
 
     d = haversine_sql("qy", "qx", "py", "px")
+    # spread the points side first: a small parquet arrives as ONE input
+    # split, and crossJoin preserves partitioning — without this the whole
+    # |points| x |probes| product (and its trig) runs in a single task
+    sc = points.sparkSession.sparkContext
+    points = points.repartition(sc.defaultParallelism * 2)
     scored = points.crossJoin(F.broadcast(probes)).where(
         F.col("pid") != F.col("qid")
     ).withColumn("dist_km", F.expr(d))

@@ -29,7 +29,13 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
 
 def knn_bruteforce(points: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     """points: (pid, px, py); queries: (qid, qx, qy). Returns
-    (qid, pid, rank, d2). Excludes self-matches on id equality."""
+    (qid, pid, rank, d2). Excludes self-matches on id equality.
+
+    The points side is repartitioned first: a small parquet arrives as one
+    input split and crossJoin preserves partitioning, which would put the
+    whole |points| x |queries| product in a single task."""
+    sc = points.sparkSession.sparkContext
+    points = points.repartition(sc.defaultParallelism * 2)
     j = points.crossJoin(F.broadcast(queries)).where(F.col("pid") != F.col("qid"))
     scored = j.withColumn(
         "d2",

@@ -46,21 +46,32 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int) -> Data
     cand = pt_cells.join(p_cells, "cell_id")
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # sort by poly_id and walk contiguous slices with numpy — a pandas
+        # groupby here costs ~1 ms per (tiny) group and dominated the join
+        # (measured 73 s of a 76 s run at sf0.1); slicing is ~50 us/group
         for pdf in batches:
             if pdf.empty:
                 continue
-            outs = []
-            for _, sub in pdf.groupby("poly_id", sort=False):
-                rings = wkb.load_polygons(bytes(sub["geom"].iloc[0]))[0]
-                pts = np.stack([sub["px"].to_numpy(np.float64),
-                                sub["py"].to_numpy(np.float64)], axis=1)
+            order = np.argsort(pdf["poly_id"].to_numpy(), kind="stable")
+            poly = pdf["poly_id"].to_numpy()[order]
+            px = pdf["px"].to_numpy(np.float64)[order]
+            py = pdf["py"].to_numpy(np.float64)[order]
+            ptid = pdf["point_id"].to_numpy()[order]
+            geom = pdf["geom"].to_numpy(dtype=object)[order]
+            starts = np.flatnonzero(np.r_[True, poly[1:] != poly[:-1]])
+            ends = np.r_[starts[1:], len(poly)]
+            keep_pt, keep_poly = [], []
+            for s, e in zip(starts, ends):
+                rings = wkb.load_polygons(bytes(geom[s]))[0]
+                pts = np.stack([px[s:e], py[s:e]], axis=1)
                 m = points_in_polygon(pts, [np.asarray(r, np.float64) for r in rings])
                 if m.any():
-                    outs.append(pd.DataFrame({
-                        "point_id": sub["point_id"].to_numpy()[m],
-                        "poly_id": sub["poly_id"].to_numpy()[m],
-                    }))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                    keep_pt.append(ptid[s:e][m])
+                    keep_poly.append(poly[s:e][m])
+            if keep_pt:
+                yield pd.DataFrame({
+                    "point_id": np.concatenate(keep_pt),
+                    "poly_id": np.concatenate(keep_poly),
+                })
 
     return cand.mapInPandas(refine, PIP_SCHEMA)

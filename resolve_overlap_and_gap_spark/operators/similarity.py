@@ -27,7 +27,11 @@ def _norm(a: str) -> F.Column:
 
 def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     """emb: (pid, vec array<double>); queries: (qid, qvec array<double>).
-    Returns (qid, pid, rank, sim). Ties by pid; self-match excluded."""
+    Returns (qid, pid, rank, sim). Ties by pid; self-match excluded.
+    The emb side is repartitioned first (small parquet = one input split;
+    crossJoin would otherwise score the whole product in a single task)."""
+    sc = emb.sparkSession.sparkContext
+    emb = emb.repartition(sc.defaultParallelism * 2)
     j = emb.crossJoin(F.broadcast(queries)).where(F.col("pid") != F.col("qid"))
     scored = j.withColumn("sim", _dot("vec", "qvec") / (_norm("vec") * _norm("qvec")))
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("pid").asc())

@@ -84,3 +84,24 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         f"cast({id_col} as bigint) as doc_id",
         f"{fingerprint_sql(text_col, SPARK)} as fp",
     )
+
+
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"  # letter runs / digit runs / punct
+
+
+def bpe_token_count_sql(col: str, dialect: str) -> str:
+    """BPE-ish tokenizer count (GPT-2-style pre-tokenization simplified to
+    ASCII classes): letter runs, digit runs, single punctuation — over
+    whitespace-normalized text so \\n/\\t never count as tokens. The regex is
+    dialect-portable (no escapes); only the extract-all spelling differs."""
+    sq = norm_ws_sql(col, dialect)
+    if dialect == SPARK:
+        return f"cast(size(regexp_extract_all({sq}, '{BPE_PATTERN}', 0)) as bigint)"
+    return f"cast(len(regexp_extract_all({sq}, '{BPE_PATTERN}')) as bigint)"
+
+
+def bpe_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.selectExpr(
+        f"cast({id_col} as bigint) as doc_id",
+        f"{bpe_token_count_sql(text_col, SPARK)} as n_bpe",
+    )

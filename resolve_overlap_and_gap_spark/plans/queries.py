@@ -260,9 +260,10 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings").selectExpr(
         "vec_id as pid", "transform(embedding, x -> cast(x as double)) as vec"
     )
+    emb = emb.repartition(spark.sparkContext.defaultParallelism * 2)
     a = emb.selectExpr("pid as id_a", "vec as va")
     b = emb.selectExpr("pid as id_b", "vec as vb")
-    j = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    j = a.crossJoin(F.broadcast(b)).where(F.col("id_a") < F.col("id_b"))
     sim = F.expr(
         "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
         " / (sqrt(aggregate(transform(va, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))"
@@ -316,6 +317,18 @@ def o_lang_id() -> str:
     return (
         "select cast(doc_id as bigint) as doc_id, "
         f"{textstats.lang_id_sql('text')} as lang_pred from documents"
+    )
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counts (letter/digit runs + punctuation) per doc."""
+    return textstats.bpe_tokens(_read(spark, sf_dir, "documents"))
+
+
+def o_bpe_tokens() -> str:
+    return (
+        "select cast(doc_id as bigint) as doc_id, "
+        f"{textstats.bpe_token_count_sql('text', DUCKDB)} as n_bpe from documents"
     )
 
 
@@ -808,6 +821,9 @@ def o_dwithin_geo() -> str:
     """
 
 
+KNN_GEO_QMOD = 100
+
+
 def q_knn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact geodesic kNN (haversine; the ST_Distance-spheroid measurement
     path applied to the kNN operator)."""
@@ -815,7 +831,7 @@ def q_knn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = _points(spark, sf_dir, "orders", "o_orderkey")
     qs = _points(spark, sf_dir, "customer", "c_custkey").where(
-        F.col("pid") % DWITHIN_QMOD == 0
+        F.col("pid") % KNN_GEO_QMOD == 0
     ).selectExpr("pid as qid", "px as qx", "py as qy")
     return knn_geodesic(pts, qs, KNN_K)
 
@@ -828,7 +844,7 @@ def o_knn_geo() -> str:
         with p as (select * from {_points_cte_duck('orders', 'o_orderkey')}),
         q as (select pid as qid, px as qx, py as qy
               from {_points_cte_duck('customer', 'c_custkey')}
-              where pid % {DWITHIN_QMOD} = 0)
+              where pid % {KNN_GEO_QMOD} = 0)
         select qid, pid, rank from (
           select q.qid, p.pid,
                  row_number() over (partition by q.qid order by {d} asc, p.pid asc) as rank
@@ -914,7 +930,11 @@ def q_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from resolve_overlap_and_gap_spark.sources.pages import with_regular_ngon
 
     pts = _points(spark, sf_dir, "orders", "o_orderkey")
-    centers = _points(spark, sf_dir, "part", "p_partkey")
+    # spread before the Arrow UDF chain (WKB build + bounds): the small
+    # parquet is one input split and would serialize the per-row hashing
+    centers = _points(spark, sf_dir, "part", "p_partkey").repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
     polys = with_regular_ngon(centers, k=PIP_POLY_K).selectExpr("pid as bid", "geom")
     return point_in_polygon_join(pts, polys, PIP_RES)
 
@@ -1065,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_stats": q_quality_stats,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "bpe_tokens": q_bpe_tokens,
         "minhash_sig": q_minhash_sig,
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1109,6 +1130,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_stats": o_quality_stats(),
         "lang_id": o_lang_id(),
         "fingerprints": o_fingerprints(),
+        "bpe_tokens": o_bpe_tokens(),
         "minhash_sig": o_minhash_sig(),
         "simhash": o_simhash(),
         "jaccard_pairs": o_jaccard_pairs(),
