@@ -648,8 +648,18 @@ def union_faces(polys: list[tuple[int, list[np.ndarray]]]) -> list[Face]:
     S2 = np.where(fl[:, None], E, E[:, [2, 3, 0, 1]]).astype(np.int64)
     arr2 = Arrangement(S2, np.zeros(len(S2), np.int64), np.ones(len(S2), np.int64))
     w2 = label_walks(arr2)
-    pos = [i for i, a in enumerate(arr2.walk_area2) if a > 0]
-    neg = [i for i, a in enumerate(arr2.walk_area2) if a < 0]
+    # positive-area walks with winding > 0 are union faces; a hole's
+    # INTERIOR-side walk is also positive-area but has winding 0 (crossing
+    # the hole ring leaves coverage) — emitting it would fill every hole
+    # with a spurious face (double-covering any island inside, which the
+    # after-resolve detection then reports as an overlap)
+    pos = [i for i, a in enumerate(arr2.walk_area2)
+           if a > 0 and w2[i].get(0, 0) > 0]
+    # a negative walk is a real hole boundary only if the face it bounds is
+    # covered (winding > 0); the CW walk around an island nested inside an
+    # uncovered hole bounds the hole region (winding 0) and must not attach
+    neg = [i for i, a in enumerate(arr2.walk_area2)
+           if a < 0 and w2[i].get(0, 0) > 0]
     faces = {i: Face(shell=arr2.walk_coords(i), winding=w2[i], area2=arr2.walk_area2[i])
              for i in pos}
     pos_sorted = sorted(pos, key=lambda i: arr2.walk_area2[i])

@@ -672,6 +672,23 @@ def q_resolve_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's compare oracle as a query: detection metrics before
+    and after resolve+heal (resolve_overlap_gap_compare_result.sql:23-305).
+    Rows-only driver check; the after-phase zero-overlap invariant is
+    asserted in tests/test_compare.py."""
+    from resolve_overlap_and_gap_spark.config import EngineConfig
+    from resolve_overlap_and_gap_spark.operators.compare import compare_before_after
+
+    layer = derived_polygon_layer(spark, sf_dir)
+    cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=1e-4)
+    return compare_before_after(layer, cfg, res=_density_res(spark, sf_dir)).select(
+        "phase", "n_overlaps",
+        F.expr("cast(floor(overlap_area * 1e9) as bigint)").alias("overlap_area_x1e9"),
+        "n_gaps", "n_small_interior_gaps",
+    )
+
+
 def q_dissolve_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dissolve (ST_Union GROUP BY key, A2): union of derived n-gon
     footprints per group of 100 pages; internal/overlap edges healed.
@@ -1111,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_healed": q_resolve_healed,
         "detect_balanced": q_detect_balanced,
         "resolve_balanced": q_resolve_balanced,
+        "clean_metrics": q_clean_metrics,
     }
 
 

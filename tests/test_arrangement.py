@@ -154,3 +154,21 @@ def test_overlap_and_gap_vs_universe():
     gap = got.get(frozenset([U]), 0.0)
     assert overlap == 4.0  # [8,10]x[8,10]
     assert gap == 400.0 - 64.0 - 64.0 + 4.0
+
+
+def test_union_faces_hole_semantics():
+    """Regression: union_faces must not fill holes (the hole-interior walk
+    has winding 0), must not attach island-surround walks as holes, and a
+    cross-part hole (two C-shapes forming an annulus) must reassemble."""
+    import numpy as np
+    from resolve_overlap_and_gap_spark.geom.arrangement import union_faces
+
+    left = [np.array([[0, 0], [50, 0], [50, 40], [40, 40], [40, 60], [50, 60],
+                      [50, 100], [0, 100]], dtype=np.int64)]
+    right = [np.array([[50, 0], [100, 0], [100, 100], [50, 100], [50, 60],
+                       [60, 60], [60, 40], [50, 40]], dtype=np.int64)]
+    out = union_faces([(0, left), (0, right)])
+    assert [(f.area2, len(f.holes)) for f in out] == [(19200, 1)]
+    island = [np.array([[45, 45], [55, 45], [55, 55], [45, 55]], dtype=np.int64)]
+    out2 = union_faces([(0, left), (0, right), (0, island)])
+    assert sorted((f.area2, len(f.holes)) for f in out2) == [(200, 0), (19200, 1)]
