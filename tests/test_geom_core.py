@@ -82,3 +82,20 @@ def test_snap_roundtrip():
     snapped = core.snap_to_grid_int(c, 1e-5)
     back = core.grid_to_float(snapped, 1e-5)
     assert np.abs(back - c).max() <= 5e-6 + 1e-12
+
+
+def test_geojson_roundtrip():
+    import json
+    import numpy as np
+    from resolve_overlap_and_gap_spark.geom import wkb
+    from resolve_overlap_and_gap_spark.geom.geojson import multipolygon_geojson
+
+    shell = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    hole = np.array([[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0]])
+    gj = json.loads(multipolygon_geojson(wkb.dump_polygon([shell, hole])))
+    assert gj["type"] == "Polygon"
+    assert len(gj["coordinates"]) == 2           # shell + hole
+    assert gj["coordinates"][0][0] == gj["coordinates"][0][-1]  # closed
+    mp = wkb.dump_multipolygon([[shell], [shell + 20.0]])
+    gj2 = json.loads(multipolygon_geojson(mp))
+    assert gj2["type"] == "MultiPolygon" and len(gj2["coordinates"]) == 2
