@@ -7,6 +7,8 @@ Usage:
   spark-submit --py-files rog_spark.zip main.py resolve <sf_dir> <out_dir>
   spark-submit --py-files rog_spark.zip main.py healed  <sf_dir> <out_dir>
   spark-submit --py-files rog_spark.zip main.py query   <sf_dir> <out_dir> <name>
+  spark-submit --py-files rog_spark.zip main.py resolve-ckpt <sf_dir> <ckpt_dir>
+      (resumable: reruns skip cells already in <ckpt_dir>/_lineage)
       (<name> = any entry of the driver-contract registry, e.g. pip_polygon,
        asof_join, minhash_sig — `main.py list` prints them)
 
@@ -57,6 +59,36 @@ def main() -> None:
     elif cmd == "query":
         name = sys.argv[4]
         out = Q.queries()[name](spark, sf_dir)
+    elif cmd == "resolve-ckpt":
+        # resumable resolve (north rule): per-cell lineage rows in
+        # <out_dir>/_lineage; rerunning after a kill recomputes only the
+        # cells missing from the done-list (J5 anti-join) — the reference's
+        # restart scenario (resolve_overlap_and_gap.sql:98-168)
+        import pandas as pd  # noqa: F401
+
+        from resolve_overlap_and_gap_spark.lineage import (
+            Lineage,
+            run_stage_checkpointed,
+        )
+        from resolve_overlap_and_gap_spark.operators import resolve as R
+        from resolve_overlap_and_gap_spark.operators.overlap_gap import with_cells
+
+        cells = with_cells(layer.selectExpr("cast(fid as long) fid", "geom"), res)
+        lin = Lineage(spark, out_dir)
+
+        def compute(todo_rows):
+            def kernel(pdf):
+                return R._cell_kernel(pdf, cfg, res)
+
+            return todo_rows.groupBy("cell_id").applyInPandas(kernel, R.RESOLVE_SCHEMA)
+
+        out = run_stage_checkpointed(lin, "resolve", cells, compute, "resolved")
+        n = out.count()
+        done = lin.done_cells("resolve").count()
+        print(json.dumps({"cmd": cmd, "rows": n, "cells_done": done,
+                          "sec": round(time.monotonic() - t0, 2), "out": out_dir}))
+        spark.stop()
+        return
     else:
         raise SystemExit(f"unknown command {cmd}")
     out.write.mode("overwrite").parquet(out_dir)
