@@ -40,22 +40,23 @@ def asof_join(
     right_ts <= left_ts (ties by greatest tie_col). Returns all left columns
     plus `payload_cols` from the matched right row."""
     left_cols = left.columns
-    l = left.withColumn("_ts", F.col(left_ts)).withColumn("_r", F.lit(0))
-    for c in payload_cols:
-        l = l.withColumn(f"_p_{c}", F.lit(None).cast(right.schema[c].dataType))
+    # payloads travel as ONE struct so the carried match is atomic — a
+    # per-column last(ignorenulls) would stitch values from DIFFERENT right
+    # rows whenever a payload column holds nulls
+    pay = F.struct(*[F.col(c).alias(c) for c in payload_cols])
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_r"),
         F.col(tie_col).alias("_tie"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        pay.alias("_p"),
     )
+    l = left.withColumn("_ts", F.col(left_ts)).withColumn("_r", F.lit(0))
+    l = l.withColumn("_p", F.lit(None).cast(r.schema["_p"].dataType))
     l = l.withColumn("_tie", F.lit(None).cast(r.schema["_tie"].dataType))
-    u = l.select(key, "_ts", "_r", "_tie",
-                 *[f"_p_{c}" for c in payload_cols],
+    u = l.select(key, "_ts", "_r", "_tie", "_p",
                  *[c for c in left_cols if c != key]).unionByName(
-        r.select(key, "_ts", "_r", "_tie",
-                 *[f"_p_{c}" for c in payload_cols],
+        r.select(key, "_ts", "_r", "_tie", "_p",
                  *[F.lit(None).cast(left.schema[c].dataType).alias(c)
                    for c in left_cols if c != key])
     )
@@ -66,14 +67,10 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_r").desc(), F.col("_tie").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.select(
-        "*",
-        *[F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-          for c in payload_cols],
-    )
-    out = carried.where((F.col("_r") == 0) & F.col(f"_m_{payload_cols[0]}").isNotNull())
+    carried = u.select("*", F.last("_p", ignorenulls=True).over(w).alias("_m"))
+    out = carried.where((F.col("_r") == 0) & F.col("_m").isNotNull())
     return out.select(
         key,
         *[c for c in left_cols if c != key],
-        *[F.col(f"_m_{c}").alias(c) for c in payload_cols],
+        *[F.col(f"_m.{c}").alias(c) for c in payload_cols],
     )

@@ -99,3 +99,20 @@ def test_simhash_neardup_matches_bruteforce(spark):
     }
     assert got == brute
     assert len(brute) > 0
+
+
+@pytest.mark.spark
+def test_asof_join_multi_payload_nulls_atomic(spark):
+    """Payload columns from the matched right row must come from the SAME
+    row even when some are null (regression: per-column last(ignorenulls)
+    stitched values across rows)."""
+    left = spark.createDataFrame([(1, 100, _ts(9))], "k long, eid long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(1), 10, "early"), (1, _ts(5), 11, None)],
+        "k long, ots timestamp, oid long, note string",
+    )
+    out = asof_join(left, right, key="k", left_ts="ts", right_ts="ots",
+                    payload_cols=["oid", "note"], tie_col="oid").collect()
+    assert len(out) == 1
+    # matched row is (oid=11, note=None) — NOT note='early' from the older row
+    assert out[0].oid == 11 and out[0].note is None
