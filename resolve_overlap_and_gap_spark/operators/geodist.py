@@ -42,20 +42,62 @@ def dwithin_geodesic_join(
     probes: DataFrame,   # qid, qx (lon), qy (lat)
     points: DataFrame,   # pid, px (lon), py (lat)
     radius_km: float,
+    res: int | None = None,
 ) -> DataFrame:
     """All (qid, pid) pairs with haversine(q, p) <= radius_km, plus the
-    distance floored to decameters (dist_x100 = floor(km * 100))."""
-    band_h = radius_km / KM_PER_DEG_LAT_MIN  # degrees; safe lower bound
-    p = points.withColumn("band", F.floor(F.col("py") / band_h).cast("long"))
+    distance floored to decameters (dist_x100 = floor(km * 100)).
+
+    Candidates via a 2-D cell equi-join: each probe explodes to the grid
+    cells covering the exact spherical bounding box of its radius circle —
+    lat extent r/110.574 deg (conservative: true km/deg >= 110.574), lon
+    extent the textbook circle bound dlon = asin(sin(r/R)/cos(lat_q))
+    (the circle's true maximum longitude excursion on the sphere), full lon
+    range when the circle reaches a pole. Boxes crossing the antimeridian
+    split in two (shift 360), then (qid, cell) dedups. Points key to their
+    single cell, so the equi-join is a strict candidate superset and the
+    haversine filter is exact. Prunes BOTH dimensions (the previous
+    latitude-band variant scanned every longitude in a 3-band strip)."""
+    import math
+
+    from resolve_overlap_and_gap_spark import grid
+
+    dlat = radius_km / KM_PER_DEG_LAT_MIN
+    if res is None:
+        # cell lat-height ~ 2*dlat: a probe box spans ~2x2 cells
+        res = max(2, min(int(math.log2(max(180.0 / (2.0 * dlat), 1.0))), 11))
+    p = points.withColumn("cell_id", grid.cell_id_col(F.col("px"), F.col("py"), res))
+    # dlon via sin(r/R): asin argument sin(r/R)/cos(lat); >=1 -> pole in circle
+    arg = f"(sin({radius_km!r} / {EARTH_RADIUS_KM!r}) / cos(radians(qy)))"
     q = probes.withColumn(
-        "band",
-        F.explode(
-            F.array(*[F.floor(F.col("qy") / band_h).cast("long") + d for d in (-1, 0, 1)])
+        "_dlon",
+        F.expr(
+            f"case when abs(qy) + {dlat!r} >= 90.0 then 180.0 "
+            f"when {arg} >= 1.0 then 180.0 "
+            f"else degrees(asin({arg})) + 1e-9 end"
         ),
     )
+    # split at the antimeridian: shift the out-of-range part by 360
+    shifts = F.array(F.lit(0.0), F.lit(-360.0), F.lit(360.0))
+    q = q.withColumn("_shift", F.explode(shifts))
+    q = q.where(
+        (F.col("qx") - F.col("_dlon") + F.col("_shift") < 180.0)
+        & (F.col("qx") + F.col("_dlon") + F.col("_shift") > -180.0)
+    )
+    q = q.withColumn(
+        "cell_id",
+        F.explode(
+            grid.covering_cells_col(
+                F.greatest(F.col("qx") - F.col("_dlon") + F.col("_shift"), F.lit(-180.0)),
+                F.col("qy") - F.lit(dlat),
+                F.least(F.col("qx") + F.col("_dlon") + F.col("_shift"), F.lit(179.9999999)),
+                F.col("qy") + F.lit(dlat),
+                res,
+            )
+        ),
+    ).dropDuplicates(["qid", "cell_id"])
     d = haversine_sql("qy", "qx", "py", "px")
     return (
-        q.join(p, "band")
+        q.select("qid", "qx", "qy", "cell_id").join(p, "cell_id")
         .withColumn("dist_km", F.expr(d))
         .where(F.col("dist_km") <= radius_km)
         .selectExpr("qid", "pid", "cast(floor(dist_km * 100.0) as bigint) as dist_x100")

@@ -74,6 +74,32 @@ def test_dwithin_geodesic_matches_bruteforce(spark):
 
 
 @pytest.mark.spark
+def test_dwithin_geodesic_antimeridian_and_pole(spark):
+    from resolve_overlap_and_gap_spark.operators.geodist import haversine_sql
+
+    pts = spark.createDataFrame(
+        [(1, 179.8, 10.0), (2, -179.9, 10.2), (3, 0.0, 89.8), (4, 180.0 - 1e-7, 89.7),
+         (5, -90.0, 89.9), (6, 10.0, 10.0)],
+        "pid long, px double, py double",
+    )
+    qs = spark.createDataFrame(
+        [(100, -179.95, 10.1),   # antimeridian: must see pid 1 and 2
+         (200, 90.0, 89.9)],     # polar: circle contains the pole -> all lons
+        "qid long, qx double, qy double",
+    )
+    radius = 120.0
+    got = {(r.qid, r.pid) for r in dwithin_geodesic_join(qs, pts, radius).collect()}
+    d = haversine_sql("qy", "qx", "py", "px")
+    brute = {
+        (r.qid, r.pid)
+        for r in qs.crossJoin(pts).where(F.expr(f"{d} <= {radius!r}")).collect()
+    }
+    assert got == brute
+    assert (100, 1) in got and (100, 2) in got  # wrap works both directions
+    assert any(q == 200 for q, _ in got)        # polar probe finds neighbors
+
+
+@pytest.mark.spark
 def test_simhash_neardup_matches_bruteforce(spark):
     from resolve_overlap_and_gap_spark.operators.dedup import (
         simhash,
