@@ -502,6 +502,28 @@ _SESSIONIZE_SQL = """
 """
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured attribute payloads (the reference carries full
+    records as jsonb through its topology pipeline — SURVEY §1.2,
+    column_data_as_json): extract a typed field from the events props JSON
+    and aggregate. JVM-side get_json_object; no Python."""
+    return (
+        _read(spark, sf_dir, "events")
+        .selectExpr("cast(get_json_object(props, '$.k') as bigint) as k")
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+def o_json_props() -> str:
+    return """
+        select k % 10 as k_bucket, count(*) as n, sum(k) as sum_k
+        from (select cast(json_extract_string(props, '$.k') as bigint) as k
+              from events) t
+        group by 1
+    """
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (gap > 30 min) via lag/sum windows — identical SQL text
     runs on Spark and DuckDB (interval syntax shared)."""
@@ -1107,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "cells_outside_in": q_cells_outside_in,
+        "json_props": q_json_props,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
         "lsh_pairs": q_lsh_pairs,
@@ -1153,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": o_simhash(),
         "jaccard_pairs": o_jaccard_pairs(),
         "cells_outside_in": o_cells_outside_in(),
+        "json_props": o_json_props(),
         "sessionize": o_sessionize(),
         "event_windows": o_event_windows(),
         "lsh_pairs": o_lsh_pairs(),
