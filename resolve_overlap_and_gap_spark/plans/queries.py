@@ -502,6 +502,32 @@ _SESSIONIZE_SQL = """
 """
 
 
+_STAR_JOIN_SQL = """
+    select r.r_name as region, year(o.o_orderdate) as order_year,
+           count(*) as n_orders,
+           cast(sum(cast(floor(o.o_totalprice * 100.0) as bigint)) as bigint) as revenue_x100
+    from orders o
+    join customer c on c.c_custkey = o.o_custkey
+    join nation n on n.n_nationkey = c.c_nationkey
+    join region r on r.r_regionkey = n.n_regionkey
+    group by 1, 2
+"""
+
+
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join over the small dimensions (customer -> nation -> region):
+    Catalyst broadcasts every dim (autoBroadcastJoinThreshold), so the fact
+    scan shuffles once for the final aggregate only. Identical SQL text runs
+    on both engines."""
+    for t in ["orders", "customer", "nation", "region"]:
+        _read(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_STAR_JOIN_SQL)
+
+
+def o_star_join() -> str:
+    return _STAR_JOIN_SQL
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured attribute payloads (the reference carries full
     records as jsonb through its topology pipeline — SURVEY §1.2,
@@ -1129,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "cells_outside_in": q_cells_outside_in,
+        "star_join": q_star_join,
         "json_props": q_json_props,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
@@ -1176,6 +1203,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": o_simhash(),
         "jaccard_pairs": o_jaccard_pairs(),
         "cells_outside_in": o_cells_outside_in(),
+        "star_join": o_star_join(),
         "json_props": o_json_props(),
         "sessionize": o_sessionize(),
         "event_windows": o_event_windows(),
