@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "lsh_pairs",
     "simhash_neardup",
     "top_terms",
+    "bpe_tokens",
+    # relational / semi-structured
+    "star_join",
+    "json_props",
     # temporal / geodesic joins, reprojection
     "asof_join",
     "interval_count",

@@ -26,10 +26,17 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 
 RUN_SNIPPET = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from resolve_overlap_and_gap_spark.session import get_spark
-spark = get_spark(app_name="rog-scaling", parallelism={cpus})
+# SCALING_PROFILE=ratio reproduces the 2-tasks/core + 64MB-advisory config
+# (measured N->4N efficiency 0.80; lower absolute throughput at both
+# levels). Default = the engine's throughput-tuned session defaults.
+kw = {{}}
+if os.environ.get("SCALING_PROFILE", "") == "ratio":
+    kw = dict(shuffle_partitions=2 * {cpus},
+              extra_conf={{"spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m"}})
+spark = get_spark(app_name="rog-scaling", parallelism={cpus}, **kw)
 spark.sparkContext.setLogLevel("ERROR")
 from pyspark.sql import functions as F
 from resolve_overlap_and_gap_spark.plans import queries as Q
@@ -73,7 +80,27 @@ spark.stop()
 """
 
 
+def _wait_quiet(max_load: float, max_wait_s: int = 1500) -> None:
+    """Gate each leg on ambient load: this sandbox has noisy-neighbor
+    windows (load 5-19 with zero own processes) that degrade the
+    all-cores leg 20-60% while leaving the small leg untouched, which
+    corrupts the ratio. Set SCALING_LOAD_GATE=0 to disable."""
+    import time as _t
+
+    waited = 0
+    while waited < max_wait_s:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+        if load1 < max_load:
+            return
+        _t.sleep(15)
+        waited += 15
+
+
 def run_at(cpus: int, n: int) -> dict:
+    gate = float(os.environ.get("SCALING_LOAD_GATE", "1.5"))
+    if gate > 0:
+        _wait_quiet(gate)
     code = RUN_SNIPPET.format(repo=str(REPO), cpus=cpus, n=n)
     p = subprocess.run(
         [sys.executable, "-c", code],
