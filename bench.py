@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "interval_count",
     "dwithin_geo",
     "knn_geo",
+    "knn_geo_ring",
     "mercator",
     "tiles_to_vector",
     # geometry engine (Arrow-batched arrangement kernels)

@@ -43,9 +43,12 @@ def dwithin_geodesic_join(
     points: DataFrame,   # pid, px (lon), py (lat)
     radius_km: float,
     res: int | None = None,
+    keep_exact: bool = False,
 ) -> DataFrame:
     """All (qid, pid) pairs with haversine(q, p) <= radius_km, plus the
-    distance floored to decameters (dist_x100 = floor(km * 100)).
+    distance floored to decameters (dist_x100 = floor(km * 100));
+    keep_exact additionally returns the exact dist_km (for rank-exact
+    consumers like knn_geodesic_ring — flooring would corrupt tie order).
 
     Candidates via a 2-D cell equi-join: each probe explodes to the grid
     cells covering the exact spherical bounding box of its radius circle —
@@ -96,12 +99,15 @@ def dwithin_geodesic_join(
         ),
     ).dropDuplicates(["qid", "cell_id"])
     d = haversine_sql("qy", "qx", "py", "px")
-    return (
+    out = (
         q.select("qid", "qx", "qy", "cell_id").join(p, "cell_id")
         .withColumn("dist_km", F.expr(d))
         .where(F.col("dist_km") <= radius_km)
-        .selectExpr("qid", "pid", "cast(floor(dist_km * 100.0) as bigint) as dist_x100")
     )
+    cols = ["qid", "pid", "cast(floor(dist_km * 100.0) as bigint) as dist_x100"]
+    if keep_exact:
+        cols.append("dist_km")
+    return out.selectExpr(*cols)
 
 
 def knn_geodesic(points: DataFrame, probes: DataFrame, k: int) -> DataFrame:
@@ -126,3 +132,58 @@ def knn_geodesic(points: DataFrame, probes: DataFrame, k: int) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("qid", "pid", "rank")
     )
+
+
+def knn_geodesic_ring(points: DataFrame, probes: DataFrame, k: int,
+                      r0_km: float | None = None, max_km: float = 25000.0) -> DataFrame:
+    """Exact geodesic kNN — the scale path: expanding-radius search built on
+    dwithin_geodesic_join (2D cell equi-join candidates, exact haversine
+    refine). A probe finishes at radius r once it has >= k neighbors within
+    r: the r-circle search is exhaustive (strict candidate superset +
+    exact filter), so nothing outside r can beat the kth distance <= r.
+    Unfinished probes double the radius (half the planet is the cap).
+
+    Same results as knn_geodesic (brute force) — ties by neighbor id.
+    Per-iteration results persist: the driver probes finished-counts and the
+    final union re-reads them."""
+    from pyspark.sql import Window
+
+    if r0_km is None:
+        # expect ~k neighbors within r0: earth area / n_points * k, with
+        # slack so most probes finish in one round
+        n = points.count()
+        area_per = 510_000_000.0 / max(n, 1)
+        import math
+
+        r0_km = max(1.0, 2.0 * math.sqrt(k * area_per / math.pi))
+    remaining = probes
+    r = r0_km
+    parts: list[DataFrame] = []
+    to_unpersist: list[DataFrame] = []
+    w = Window.partitionBy("qid").orderBy(F.col("dist_km").asc(), F.col("pid").asc())
+    while True:
+        found = dwithin_geodesic_join(remaining, points, r, keep_exact=True).where(
+            F.col("pid") != F.col("qid")
+        )
+        top = (
+            found.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .persist()
+        )
+        to_unpersist.append(top)
+        counts = top.groupBy("qid").agg(F.count("*").alias("n_found"))
+        last_round = r >= max_km
+        fin = counts.where(F.lit(True) if last_round else (F.col("n_found") >= k)).select("qid").persist()
+        to_unpersist.append(fin)
+        parts.append(top.join(F.broadcast(fin), "qid"))
+        remaining = remaining.join(F.broadcast(fin), "qid", "left_anti")
+        if last_round or remaining.isEmpty():
+            break
+        r *= 2.0
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.select("qid", "pid", "rank").localCheckpoint()
+    for df in to_unpersist:
+        df.unpersist()
+    return out

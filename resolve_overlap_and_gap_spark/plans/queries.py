@@ -901,6 +901,20 @@ def q_knn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_geodesic(pts, qs, KNN_K)
 
 
+def q_knn_geo_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact geodesic kNN via expanding-radius search (the 100TB scale
+    path: per-round 2D cell equi-join + haversine refine; a probe finishes
+    once >= k neighbors lie within the searched radius). Must equal the
+    brute-force oracle exactly."""
+    from resolve_overlap_and_gap_spark.operators.geodist import knn_geodesic_ring
+
+    pts = _points(spark, sf_dir, "orders", "o_orderkey")
+    qs = _points(spark, sf_dir, "customer", "c_custkey").where(
+        F.col("pid") % KNN_GEO_QMOD == 0
+    ).selectExpr("pid as qid", "px as qx", "py as qy")
+    return knn_geodesic_ring(pts, qs, KNN_K)
+
+
 def o_knn_geo() -> str:
     from resolve_overlap_and_gap_spark.operators.geodist import haversine_sql
 
@@ -1164,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "dwithin_geo": q_dwithin_geo,
         "knn_geo": q_knn_geo,
+        "knn_geo_ring": q_knn_geo_ring,
         "tiles_to_vector": q_tiles_to_vector,
         "top_terms": q_top_terms,
         "pip_polygon": q_pip_polygon,
@@ -1212,6 +1227,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": o_asof_join(),
         "dwithin_geo": o_dwithin_geo(),
         "knn_geo": o_knn_geo(),
+        "knn_geo_ring": o_knn_geo(),
         "tiles_to_vector": o_tiles_to_vector(),
         "top_terms": o_top_terms(),
         "mercator": o_mercator(),
