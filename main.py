@@ -52,10 +52,16 @@ def main() -> None:
 
         out = resolve(layer, cfg, res=res)
     elif cmd == "healed":
-        from resolve_overlap_and_gap_spark.operators.border import border_gap_merge
-        from resolve_overlap_and_gap_spark.operators.resolve import resolve
+        from pyspark.sql import functions as F
 
-        out = border_gap_merge(layer, resolve(layer, cfg, res=res), cfg, res=res)
+        from resolve_overlap_and_gap_spark.operators.border import border_gap_merge
+        from resolve_overlap_and_gap_spark.operators.resolve import GAP_OWNER, resolve
+
+        both = resolve(layer, cfg, res=res, emit_border_gaps=True).localCheckpoint()
+        out = border_gap_merge(
+            layer, both.where(F.col("owner") != GAP_OWNER), cfg, res=res,
+            border_gaps=both.where(F.col("owner") == GAP_OWNER).select("geom"),
+        )
     elif cmd == "query":
         name = sys.argv[4]
         out = Q.queries()[name](spark, sf_dir)

@@ -50,11 +50,15 @@ def _load_int_polys(b: bytes, g: float) -> list[list[np.ndarray]]:
 
 
 def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
-                     res: int = 8) -> DataFrame:
+                     res: int = 8, border_gaps: DataFrame | None = None) -> DataFrame:
     """-> (owner, area, geom) — the final healed layer.
 
-    features: the ORIGINAL polygon layer (fid, geom) — used to detect gaps.
+    features: the ORIGINAL polygon layer (fid, geom) — used to detect gaps
+    when border_gaps is not supplied.
     pieces: resolve() output (cell_id, owner, other_ids, area, geom).
+    border_gaps: optional (geom) of border-touching sub-min gap faces —
+    pass resolve(..., emit_border_gaps=True)'s GAP_OWNER rows to reuse the
+    resolve overlay instead of running a second full detection.
     """
     g = cfg.snap_tolerance
     spark = pieces.sparkSession
@@ -63,14 +67,15 @@ def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
     # per consumer (measured 2x wall on the healed pipeline)
     pieces = pieces.localCheckpoint()
 
-    # 1. border-touching gap faces from detection. Only pieces below
-    #    min_area can be part of a cross-border sliver (if any piece is
-    #    >= min_area the reassembled gap is too) — exact pre-filter that
-    #    excludes the large open-world gaps from the union below.
-    det = detect_all(features, cfg, res=res)
-    border_gaps = det.where(
-        f"kind = 'gap' and touches_border and area < {cfg.min_area_to_keep}"
-    ).select("geom")
+    # 1. border-touching gap faces. Only pieces below min_area can be part
+    #    of a cross-border sliver (if any piece is >= min_area the
+    #    reassembled gap is too) — exact pre-filter that excludes the large
+    #    open-world gaps from the union below.
+    if border_gaps is None:
+        det = detect_all(features, cfg, res=res)
+        border_gaps = det.where(
+            f"kind = 'gap' and touches_border and area < {cfg.min_area_to_keep}"
+        ).select("geom")
 
     # 2. reassemble across cells: global dissolve of border gap pieces.
     #    Gap mass is sparse (slivers); a single-partition union is bounded.

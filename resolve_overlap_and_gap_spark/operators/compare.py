@@ -35,12 +35,14 @@ def compare_before_after(layer: DataFrame, cfg: EngineConfig, res: int) -> DataF
     resolve + heal, overlap area must be ~0 (snap-scale residue at most) and
     small interior gaps absorbed."""
     from resolve_overlap_and_gap_spark.operators.border import border_gap_merge
-    from resolve_overlap_and_gap_spark.operators.resolve import resolve
+    from resolve_overlap_and_gap_spark.operators.resolve import GAP_OWNER, resolve
 
     layer = layer.localCheckpoint()  # feeds detect twice + resolve
     before = _metrics(detect_all(layer, cfg, res=res), "before", cfg.min_area_to_keep)
-    pieces = resolve(layer, cfg, res=res)
-    healed = border_gap_merge(layer, pieces, cfg, res=res)
+    both = resolve(layer, cfg, res=res, emit_border_gaps=True).localCheckpoint()
+    pieces = both.where(F.col("owner") != GAP_OWNER)
+    healed = border_gap_merge(layer, pieces, cfg, res=res,
+                              border_gaps=both.where(F.col("owner") == GAP_OWNER).select("geom"))
     clean = healed.select(F.col("owner").alias("fid"), "geom")
     after = _metrics(detect_all(clean, cfg, res=res), "after", cfg.min_area_to_keep)
     return before.unionByName(after)

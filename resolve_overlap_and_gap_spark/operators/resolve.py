@@ -145,8 +145,17 @@ def _merge_slivers(faces, adj, min_area2: float, border_faces: set[int] = frozen
     return [find(i) for i in range(n)], area
 
 
-def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int) -> pd.DataFrame:
-    """Per-cell resolve kernel (module-level so checkpointed runs reuse it)."""
+GAP_OWNER = -1  # owner sentinel for emitted border-gap rows (emit_border_gaps)
+
+
+def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
+                 emit_border_gaps: bool = False) -> pd.DataFrame:
+    """Per-cell resolve kernel (module-level so checkpointed runs reuse it).
+
+    emit_border_gaps additionally emits rows (owner=GAP_OWNER) for
+    border-touching sub-min-area gap groups — the exact inputs of the
+    boundary-exchange pass (border_gap_merge), produced from the SAME
+    overlay instead of a second full detection pass."""
     g = cfg.snap_tolerance
     min_area2 = 2.0 * cfg.min_area_to_keep / (g * g)  # to 2x grid-units
     cell = int(pdf["cell_id"].iloc[0])
@@ -184,10 +193,21 @@ def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int) -> pd.DataFrame
     groups: dict[int, list[int]] = {}
     for i, r in enumerate(group_of):
         groups.setdefault(r, []).append(i)
+    min_area2_gap = 2.0 * cfg.min_area_to_keep / (g * g)
     rows = []
     for r, members in sorted(groups.items()):
         root_cover = sorted(p for p in faces[r].cover if p != UNIVERSE)
         if not root_cover:
+            if (emit_border_gaps and r in border_faces
+                    and 0 < sum(faces[i].area2 for i in members) < min_area2_gap):
+                area2 = sum(faces[i].area2 for i in members)
+                mp = [
+                    [faces[i].shell.astype(np.float64) * g]
+                    + [h.astype(np.float64) * g for h in faces[i].holes]
+                    for i in members
+                ]
+                rows.append((cell, GAP_OWNER, [], area2 / 2.0 * g * g,
+                             wkb.dump_multipolygon(mp)))
             continue  # unclaimed gap above min_area stays a gap
         owner = root_cover[0]
         others = root_cover[1:]
@@ -202,9 +222,11 @@ def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int) -> pd.DataFrame
     return pd.DataFrame(rows, columns=["cell_id", "owner", "other_ids", "area", "geom"])
 
 
-def _bucket_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int) -> pd.DataFrame:
+def _bucket_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
+                   emit_border_gaps: bool = False) -> pd.DataFrame:
     parts = [
-        _cell_kernel(sub, cfg, res) for _, sub in pdf.groupby("cell_id", sort=True)
+        _cell_kernel(sub, cfg, res, emit_border_gaps)
+        for _, sub in pdf.groupby("cell_id", sort=True)
     ]
     if not parts:
         return pd.DataFrame(columns=["cell_id", "owner", "other_ids", "area", "geom"])
@@ -213,8 +235,10 @@ def _bucket_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int) -> pd.DataFra
 
 def resolve(features: DataFrame, cfg: EngineConfig, res: int = 8,
             geom_col: str = "geom", id_col: str = "fid",
-            n_buckets: int = 256) -> DataFrame:
+            n_buckets: int = 256, emit_border_gaps: bool = False) -> DataFrame:
     """-> (cell_id, owner, other_ids, area, geom) — clean coverage pieces.
+    With emit_border_gaps, extra rows (owner = GAP_OWNER = -1) carry the
+    border-touching sub-min gap faces for the boundary-exchange pass.
 
     Cells are processed in hashed buckets (one Arrow round-trip covers many
     cells; per-cell groups would pay applyInPandas overhead per cell)."""
@@ -226,7 +250,7 @@ def resolve(features: DataFrame, cfg: EngineConfig, res: int = 8,
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _bucket_kernel(pdf, cfg, res)
+        return _bucket_kernel(pdf, cfg, res, emit_border_gaps)
 
     return cells.groupBy("bucket").applyInPandas(kernel, RESOLVE_SCHEMA)
 

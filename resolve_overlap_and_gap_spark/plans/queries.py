@@ -667,13 +667,17 @@ def q_resolve_healed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from resolve_overlap_and_gap_spark.operators.border import border_gap_merge
     from resolve_overlap_and_gap_spark.operators.resolve import resolve
 
-    # the derived layer feeds resolve AND the border pass's detection —
-    # persist so the Arrow n-gon derivation runs once
-    layer = derived_polygon_layer(spark, sf_dir).persist()
+    from resolve_overlap_and_gap_spark.operators.resolve import GAP_OWNER
+
+    layer = derived_polygon_layer(spark, sf_dir)
     cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=1e-4)
     res = _density_res(spark, sf_dir)
-    pieces = resolve(layer, cfg, res=res)
-    healed = border_gap_merge(layer, pieces, cfg, res=res)
+    # fast path: the resolve overlay emits the border gaps itself — no
+    # second detection pass (equivalence: tests/test_healed_fastpath.py)
+    both = resolve(layer, cfg, res=res, emit_border_gaps=True).localCheckpoint()
+    pieces = both.where(F.col("owner") != GAP_OWNER)
+    gaps = both.where(F.col("owner") == GAP_OWNER).select("geom")
+    healed = border_gap_merge(layer, pieces, cfg, res=res, border_gaps=gaps)
     return healed.select(
         "owner",
         F.expr("cast(floor(area * 1e9) as bigint)").alias("area_x1e9"),
