@@ -39,10 +39,16 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int) -> Data
     p_cells = with_cells(
         polys.select(F.col("bid").alias("fid"), "geom"), res
     ).select(F.col("fid").alias("poly_id"), "geom", "cell_id")
+    # partition the probe side by cell up front: if Catalyst broadcasts the
+    # polygon side (typical — dims are small), the join output inherits the
+    # probe side's partitioning, and a small parquet scan is ONE split —
+    # the Arrow refine would run in a single task (measured 18 s of a 22 s
+    # query at sf0.1)
+    sc = points.sparkSession.sparkContext
     pt_cells = points.select(
         F.col("pid").alias("point_id"), "px", "py",
         grid.cell_id_col(F.col("px"), F.col("py"), res).alias("cell_id"),
-    )
+    ).repartition(sc.defaultParallelism * 2, "cell_id")
     cand = pt_cells.join(p_cells, "cell_id")
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
