@@ -52,6 +52,7 @@ def with_lsh_bucket(emb: DataFrame, dim: int, n_planes: int = 12, seed: int = 42
     """Sign-random-projection bucket id per vector — one numpy matmul per
     Arrow batch (vectorized pandas UDF; the mandated no-per-row-Python path)."""
     planes = _hyperplanes(dim, n_planes, seed)
+    emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism * 2)
 
     @F.pandas_udf(T.LongType())
     def bucket(v: pd.Series) -> pd.Series:
@@ -74,6 +75,9 @@ def ivf_build(emb: DataFrame, dim: int, n_centroids: int = 16,
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((n_centroids, dim)).astype(np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    # spread before the assign UDF: a small parquet is one input split and
+    # every Lloyd iteration would otherwise run single-task
+    emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism * 2)
 
     def assign_udf(cents_arr: np.ndarray):
         @F.pandas_udf(T.IntegerType())
