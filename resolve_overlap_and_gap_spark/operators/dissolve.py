@@ -115,9 +115,18 @@ def dissolve(df: DataFrame, key_col: str, grid_size: float,
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sorted numpy slicing instead of pandas groupby: ~1 ms/group
+        # groupby overhead dominates when groups are tiny (the common case
+        # after per-cell resolve — most owners have 1-5 pieces)
+        keys = pdf["key"].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        geoms = pdf["geom"].to_numpy(dtype=object)[order]
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
         rows = [
-            _union_one_group(int(k), list(sub["geom"]), grid_size)
-            for k, sub in pdf.groupby("key", sort=True)
+            _union_one_group(int(keys[s]), list(geoms[s:e]), grid_size)
+            for s, e in zip(starts, ends)
         ]
         return pd.DataFrame(rows, columns=["key", "area", "n_parts", "geom"])
 
