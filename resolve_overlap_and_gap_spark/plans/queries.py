@@ -487,8 +487,9 @@ _SESSIONIZE_SQL = """
            cast(sum(cast(floor(value * 10000.0) as bigint)) as bigint) as value_x1e4
     from (
       select user_id, ts, value,
-             sum(is_new) over (partition by user_id order by ts, event_id
-                               rows between unbounded preceding and current row) as session_id
+             cast(sum(is_new) over (partition by user_id order by ts, event_id
+                                    rows between unbounded preceding and current row)
+                  as bigint) as session_id
       from (
         select user_id, ts, event_id, value,
                case when lag(ts) over (partition by user_id order by ts, event_id)
@@ -543,7 +544,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def o_json_props() -> str:
     return """
-        select k % 10 as k_bucket, count(*) as n, sum(k) as sum_k
+        select k % 10 as k_bucket, count(*) as n, cast(sum(k) as bigint) as sum_k
         from (select cast(json_extract_string(props, '$.k') as bigint) as k
               from events) t
         group by 1
