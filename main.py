@@ -60,7 +60,8 @@ def main() -> None:
         both = resolve(layer, cfg, res=res, emit_border_gaps=True).localCheckpoint()
         out = border_gap_merge(
             layer, both.where(F.col("owner") != GAP_OWNER), cfg, res=res,
-            border_gaps=both.where(F.col("owner") == GAP_OWNER).select("geom"),
+            border_gaps=both.where(F.col("owner") == GAP_OWNER).select("cell_id", "geom"),
+            checkpoint=False,
         )
     elif cmd == "query":
         name = sys.argv[4]

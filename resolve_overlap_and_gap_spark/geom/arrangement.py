@@ -158,12 +158,26 @@ def _on_segment(px, py, x1, y1, x2, y2) -> bool:
     return min(x1, x2) <= px <= max(x1, x2) and min(y1, y2) <= py <= max(y1, y2)
 
 
+class NodingError(RuntimeError):
+    """Snap-noding fixpoint did not converge within the iteration budget.
+    Carries the pids of the still-interacting segments so callers can
+    quarantine the offending features — the reference's _no_cut_line_failed
+    path (function_resolve_overlap_gap_init.sql:221-232; long-line deferral
+    view_get_simplified_border_lines_function_v.sql:206-213)."""
+
+    def __init__(self, pids: list[int]):
+        super().__init__(f"noding did not converge; offending pids: {pids}")
+        self.pids = pids
+
+
 def node_segments(S: np.ndarray, pid: np.ndarray, wt: np.ndarray, max_iter: int = 8):
     """Split segments at crossings/touches until fixpoint (snapped noding).
     Intersection points are rounded to the integer grid (the snap), so a
-    round can create new crossings — hence the fixpoint loop."""
+    round can create new crossings — hence the fixpoint loop.  Raises
+    NodingError (with the offending pids) if splits remain after max_iter
+    rounds — never silently returns a partially-noded arrangement."""
     S = S.copy(); pid = pid.copy(); wt = wt.copy()
-    for _ in range(max_iter):
+    for it in range(max_iter + 1):
         m = len(S)
         if m == 0:
             break
@@ -253,6 +267,8 @@ def node_segments(S: np.ndarray, pid: np.ndarray, wt: np.ndarray, max_iter: int 
                     splits[b].add((px, py))
         if not splits:
             break
+        if it == max_iter:
+            raise NodingError(sorted({int(pid[i]) for i in splits}))
         newS, newP, newW = [], [], []
         for i in range(m):
             x1, y1, x2, y2 = (int(v) for v in S[i])
@@ -699,7 +715,10 @@ def ring_is_valid(ring: np.ndarray) -> bool:
     keep = (r != nxt).any(axis=1)
     S = np.hstack([r[keep], nxt[keep]])
     n0 = len(S)
-    S2, _, _ = node_segments(S, np.zeros(n0, np.int64), np.ones(n0, np.int64))
+    try:
+        S2, _, _ = node_segments(S, np.zeros(n0, np.int64), np.ones(n0, np.int64))
+    except NodingError:
+        return False
     return len(S2) == n0
 
 

@@ -40,6 +40,16 @@ def asof_join(
     right_ts <= left_ts (ties by greatest tie_col). Returns all left columns
     plus `payload_cols` from the matched right row."""
     left_cols = left.columns
+    # reserved internal names and output-collision guards: a left column
+    # named _ts/_r/... or a payload name shadowing a left column would
+    # silently produce wrong or duplicate-named output
+    reserved = {"_ts", "_r", "_tie", "_p", "_m"}
+    clash = reserved.intersection(left_cols).union(reserved.intersection(right.columns))
+    if clash:
+        raise ValueError(f"asof_join: input columns collide with internal names: {sorted(clash)}")
+    dup = set(payload_cols).intersection(c for c in left_cols if c != key)
+    if dup:
+        raise ValueError(f"asof_join: payload_cols duplicate left columns: {sorted(dup)}")
     # payloads travel as ONE struct so the carried match is atomic — a
     # per-column last(ignorenulls) would stitch values from DIFFERENT right
     # rows whenever a payload column holds nulls

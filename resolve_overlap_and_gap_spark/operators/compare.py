@@ -18,15 +18,20 @@ from resolve_overlap_and_gap_spark.operators.overlap_gap import detect_all
 
 
 def _metrics(det: DataFrame, phase: str, min_area: float) -> DataFrame:
+    # coalesce: a zero-row detection (perfectly clean layer) must yield 0s,
+    # not NULLs — downstream == 0 assertions rely on it
     return det.agg(
         F.lit(phase).alias("phase"),
-        F.sum(F.when(F.col("kind") == "overlap", 1).otherwise(0)).alias("n_overlaps"),
-        F.sum(F.when(F.col("kind") == "overlap", F.col("area")).otherwise(0.0)).alias("overlap_area"),
-        F.sum(F.when(F.col("kind") == "gap", 1).otherwise(0)).alias("n_gaps"),
-        F.sum(
+        F.coalesce(F.sum(F.when(F.col("kind") == "overlap", 1).otherwise(0)),
+                   F.lit(0)).alias("n_overlaps"),
+        F.coalesce(F.sum(F.when(F.col("kind") == "overlap", F.col("area")).otherwise(0.0)),
+                   F.lit(0.0)).alias("overlap_area"),
+        F.coalesce(F.sum(F.when(F.col("kind") == "gap", 1).otherwise(0)),
+                   F.lit(0)).alias("n_gaps"),
+        F.coalesce(F.sum(
             F.when((F.col("kind") == "gap") & (F.col("area") < min_area)
                    & ~F.col("touches_border"), 1).otherwise(0)
-        ).alias("n_small_interior_gaps"),
+        ), F.lit(0)).alias("n_small_interior_gaps"),
     )
 
 
@@ -41,8 +46,8 @@ def compare_before_after(layer: DataFrame, cfg: EngineConfig, res: int) -> DataF
     before = _metrics(detect_all(layer, cfg, res=res), "before", cfg.min_area_to_keep)
     both = resolve(layer, cfg, res=res, emit_border_gaps=True).localCheckpoint()
     pieces = both.where(F.col("owner") != GAP_OWNER)
-    healed = border_gap_merge(layer, pieces, cfg, res=res,
-                              border_gaps=both.where(F.col("owner") == GAP_OWNER).select("geom"))
+    healed = border_gap_merge(layer, pieces, cfg, res=res, checkpoint=False,
+                              border_gaps=both.where(F.col("owner") == GAP_OWNER).select("cell_id", "geom"))
     clean = healed.select(F.col("owner").alias("fid"), "geom")
     after = _metrics(detect_all(clean, cfg, res=res), "after", cfg.min_area_to_keep)
     return before.unionByName(after)

@@ -68,9 +68,14 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int) -> Data
             ends = np.r_[starts[1:], len(poly)]
             keep_pt, keep_poly = [], []
             for s, e in zip(starts, ends):
-                rings = wkb.load_polygons(bytes(geom[s]))[0]
                 pts = np.stack([px[s:e], py[s:e]], axis=1)
-                m = points_in_polygon(pts, [np.asarray(r, np.float64) for r in rings])
+                # OR across every part of a multipolygon (resolve/dissolve
+                # outputs are multi-part; testing only part 0 drops points)
+                m = np.zeros(e - s, dtype=bool)
+                for rings in wkb.load_polygons(bytes(geom[s])):
+                    m |= points_in_polygon(
+                        pts, [np.asarray(r, np.float64) for r in rings]
+                    )
                 if m.any():
                     keep_pt.append(ptid[s:e][m])
                     keep_poly.append(poly[s:e][m])

@@ -76,11 +76,15 @@ RESOLVE_SCHEMA = T.StructType([
 ])
 
 
-def _merge_slivers(faces, adj, min_area2: float, border_faces: set[int] = frozenset()):
+def _merge_slivers(faces, adj, min_area2: float, border_faces: set[int] = frozenset(),
+                   areas: list[float] | None = None):
     """Union-find sliver merge: repeatedly merge the smallest face below
-    min_area2 (2x grid-units area) into its longest-shared-border neighbor.
-    Gap faces (cover == {UNIVERSE}) below threshold merge too — that's the
-    'slivers/gaps below min area merged into neighbors' contract
+    min_area2 into its longest-shared-border neighbor.  Areas default to the
+    planar 2x-grid-units measure (faces[i].area2); pass `areas` to decide in
+    a different measure (geodesic m^2 — the reference's ST_Area(geo, true)
+    path, …utils/function_01_get_face_area.sql:24-28) with min_area2 in the
+    same units.  Gap faces (cover == {UNIVERSE}) below threshold merge too —
+    that's the 'slivers/gaps below min area merged into neighbors' contract
     (README.md:36-42).
 
     All tie-breaks use geometric keys (min shell vertex), never internal
@@ -96,7 +100,7 @@ def _merge_slivers(faces, adj, min_area2: float, border_faces: set[int] = frozen
             x = parent[x]
         return x
 
-    area = [f.area2 for f in faces]
+    area = list(areas) if areas is not None else [f.area2 for f in faces]
     gkey = [tuple(min(map(tuple, f.shell.tolist()))) for f in faces]
     nbrs: dict[int, dict[int, float]] = {i: {} for i in range(n)}
     for (a, b), L in adj.items():
@@ -148,6 +152,26 @@ def _merge_slivers(faces, adj, min_area2: float, border_faces: set[int] = frozen
 GAP_OWNER = -1  # owner sentinel for emitted border-gap rows (emit_border_gaps)
 
 
+def face_measure_areas(faces, g: float, cfg: EngineConfig) -> tuple[list[float], float]:
+    """(decision areas per face, min threshold) in the engine's configured
+    measure: planar 2x-grid-units by default; spherical m^2 when
+    cfg.geodesic_measure and not cfg.utm — the reference threads utm through
+    every area call (…utils/function_01_get_face_area.sql:24-28,
+    types_resolve_overlap.sql:19), so min_area_to_keep is m^2 there."""
+    if cfg.geodesic_measure and not cfg.utm:
+        from resolve_overlap_and_gap_spark.geom.geodesic import polygon_area_m2
+
+        areas = [
+            polygon_area_m2(
+                [f.shell.astype(np.float64) * g]
+                + [h.astype(np.float64) * g for h in f.holes]
+            )
+            for f in faces
+        ]
+        return areas, cfg.min_area_to_keep
+    return [float(f.area2) for f in faces], 2.0 * cfg.min_area_to_keep / (g * g)
+
+
 def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
                  emit_border_gaps: bool = False) -> pd.DataFrame:
     """Per-cell resolve kernel (module-level so checkpointed runs reuse it).
@@ -157,7 +181,6 @@ def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
     boundary-exchange pass (border_gap_merge), produced from the SAME
     overlay instead of a second full detection pass."""
     g = cfg.snap_tolerance
-    min_area2 = 2.0 * cfg.min_area_to_keep / (g * g)  # to 2x grid-units
     cell = int(pdf["cell_id"].iloc[0])
     xmin, ymin, xmax, ymax = grid.cell_bounds_np(np.array([cell], dtype=np.int64))
     cxmin = int(np.floor(xmin[0] / g + 0.5)); cymin = int(np.floor(ymin[0] / g + 0.5))
@@ -188,18 +211,18 @@ def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
             or (s[:, 1] == cymin).any() or (s[:, 1] == cymax).any()
         ):
             border_faces.add(k)
-    group_of, _ = _merge_slivers(faces, adj, min_area2, border_faces)
+    measure, min_measure = face_measure_areas(faces, g, cfg)
+    group_of, _ = _merge_slivers(faces, adj, min_measure, border_faces, areas=measure)
     # owner of a group = owner of its root face (attribute inheritance)
     groups: dict[int, list[int]] = {}
     for i, r in enumerate(group_of):
         groups.setdefault(r, []).append(i)
-    min_area2_gap = 2.0 * cfg.min_area_to_keep / (g * g)
     rows = []
     for r, members in sorted(groups.items()):
         root_cover = sorted(p for p in faces[r].cover if p != UNIVERSE)
         if not root_cover:
             if (emit_border_gaps and r in border_faces
-                    and 0 < sum(faces[i].area2 for i in members) < min_area2_gap):
+                    and 0 < sum(measure[i] for i in members) < min_measure):
                 area2 = sum(faces[i].area2 for i in members)
                 mp = [
                     [faces[i].shell.astype(np.float64) * g]

@@ -40,21 +40,15 @@ def rasterize_center_sampled(boxes: DataFrame, res: int, id_col: str = "id") -> 
     """Center-sampling rasterization: tile belongs to a feature iff the tile
     CENTER is inside the footprint (half-open). Ties broken by min id."""
     t = boxes_with_cells(boxes, res)
-    ix, iy = grid.cell_to_xy_np, None  # numpy variant exists; here JVM math:
     n = float(1 << res)
-    # tile center from cell bounds: recompute via cell_id -> xy is bit math;
-    # cheaper: we already know the covering range — filter by center-in-box.
-    # Reconstruct center coords from the tile's x/y indices.
-    t = t.withColumn("_tmp_xy", F.lit(None))
-    # decode morton JVM-side
+    # tile center reconstructed from the Morton id, decoded JVM-side
     z = F.col("cell_id").bitwiseAND(F.lit((1 << grid.RES_SHIFT) - 1))
     tx = _unspread_col(z)
     ty = _unspread_col(F.shiftright(z, 1))
     cx = F.lit(-180.0) + (tx.cast("double") + F.lit(0.5)) * F.lit(360.0 / n)
     cy = F.lit(-90.0) + (ty.cast("double") + F.lit(0.5)) * F.lit(180.0 / n)
     t = (
-        t.drop("_tmp_xy")
-        .withColumn("cx", cx)
+        t.withColumn("cx", cx)
         .withColumn("cy", cy)
         .where(
             (F.col("cx") >= F.col("xmin")) & (F.col("cx") < F.col("xmax"))

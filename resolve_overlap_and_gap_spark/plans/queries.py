@@ -677,8 +677,9 @@ def q_resolve_healed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second detection pass (equivalence: tests/test_healed_fastpath.py)
     both = resolve(layer, cfg, res=res, emit_border_gaps=True).localCheckpoint()
     pieces = both.where(F.col("owner") != GAP_OWNER)
-    gaps = both.where(F.col("owner") == GAP_OWNER).select("geom")
-    healed = border_gap_merge(layer, pieces, cfg, res=res, border_gaps=gaps)
+    gaps = both.where(F.col("owner") == GAP_OWNER).select("cell_id", "geom")
+    healed = border_gap_merge(layer, pieces, cfg, res=res, border_gaps=gaps,
+                              checkpoint=False)
     return healed.select(
         "owner",
         F.expr("cast(floor(area * 1e9) as bigint)").alias("area_x1e9"),
