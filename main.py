@@ -59,7 +59,7 @@ def main() -> None:
 
         both = resolve(layer, cfg, res=res, emit_border_gaps=True).localCheckpoint()
         out = border_gap_merge(
-            layer, both.where(F.col("owner") != GAP_OWNER), cfg, res=res,
+            layer, both.where(F.col("owner") >= 0), cfg, res=res,
             border_gaps=both.where(F.col("owner") == GAP_OWNER).select("cell_id", "geom"),
             checkpoint=False,
         )

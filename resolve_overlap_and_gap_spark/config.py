@@ -43,6 +43,11 @@ class EngineConfig:
                                       # areas are m^2 on the sphere, the
                                       # reference's ST_Area(g,true) path
                                       # (…utils/function_01_get_face_area.sql:24-28)
+    noding_max_iter: int = 8          # snap-noding fixpoint budget; features
+                                      # still interacting after this many
+                                      # rounds are QUARANTINED (reference
+                                      # _no_cut_line_failed,
+                                      # function_resolve_overlap_gap_init.sql:221-232)
     grid: GridConfig = field(default_factory=GridConfig)
 
     # --- reference-derived constants, kept under their origin names ---

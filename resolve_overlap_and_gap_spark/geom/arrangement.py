@@ -745,7 +745,9 @@ def overlay(polys: list[tuple[int, list[np.ndarray]]],
             simplify_tol_units: float = 0.0,
             chaikin_iters: int = 0,
             frozen_box: tuple | None = None,
-            cut_lines: list[tuple[int, np.ndarray]] | None = None):
+            cut_lines: list[tuple[int, np.ndarray]] | None = None,
+            noding_max_iter: int = 8,
+            quarantine: list[int] | None = None):
     """Full overlay: snapped int rings in, labeled faces out.
 
     with_adjacency=True additionally returns a dict
@@ -755,7 +757,14 @@ def overlay(polys: list[tuple[int, list[np.ndarray]]],
 
     simplify_tol_units > 0 simplifies shared border chains (frozen
     endpoints, frozen near frozen_box) BEFORE face extraction, so output
-    faces still partition exactly (scenario-(b) simplify+Chaikin path)."""
+    faces still partition exactly (scenario-(b) simplify+Chaikin path).
+
+    quarantine: pass a list to enable the reference's failed-feature path
+    (_no_cut_line_failed, function_resolve_overlap_gap_init.sql:221-232):
+    when noding does not converge within noding_max_iter rounds the
+    offending feature pids are APPENDED to the list, their segments removed,
+    and the overlay retried on the rest — the cell completes, the caller
+    records the quarantined features.  Without it NodingError propagates."""
     S, pid, wt = rings_to_segments(polys)
     if cut_lines:
         Sl, pl, wl = lines_to_segments(cut_lines)
@@ -767,7 +776,20 @@ def overlay(polys: list[tuple[int, list[np.ndarray]]],
     if simplify_tol_units > 0:
         S, pid, wt = simplify_segments(S, pid, wt, simplify_tol_units,
                                        chaikin_iters, frozen_box)
-    S, pid, wt = node_segments(S, pid, wt)
+    while True:
+        try:
+            S, pid, wt = node_segments(S, pid, wt, max_iter=noding_max_iter)
+            break
+        except NodingError as e:
+            # UNIVERSE (-1) and cut-line pseudo-ids are never quarantined
+            bad = [p for p in e.pids if p >= 0]
+            if quarantine is None or not bad:
+                raise
+            quarantine.extend(b for b in bad if b not in quarantine)
+            keep = ~np.isin(pid, np.asarray(bad, dtype=np.int64))
+            S, pid, wt = S[keep], pid[keep], wt[keep]
+            if len(S) == 0:
+                return ([], {}) if with_adjacency else []
     arr = Arrangement(S, pid, wt)
     winding = label_walks(arr)
 

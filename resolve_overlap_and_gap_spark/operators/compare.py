@@ -45,7 +45,7 @@ def compare_before_after(layer: DataFrame, cfg: EngineConfig, res: int) -> DataF
     layer = layer.localCheckpoint()  # feeds detect twice + resolve
     before = _metrics(detect_all(layer, cfg, res=res), "before", cfg.min_area_to_keep)
     both = resolve(layer, cfg, res=res, emit_border_gaps=True).localCheckpoint()
-    pieces = both.where(F.col("owner") != GAP_OWNER)
+    pieces = both.where(F.col("owner") >= 0)
     healed = border_gap_merge(layer, pieces, cfg, res=res, checkpoint=False,
                               border_gaps=both.where(F.col("owner") == GAP_OWNER).select("cell_id", "geom"))
     clean = healed.select(F.col("owner").alias("fid"), "geom")

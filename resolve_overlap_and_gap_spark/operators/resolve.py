@@ -149,7 +149,11 @@ def _merge_slivers(faces, adj, min_area2: float, border_faces: set[int] = frozen
     return [find(i) for i in range(n)], area
 
 
-GAP_OWNER = -1  # owner sentinel for emitted border-gap rows (emit_border_gaps)
+GAP_OWNER = -1         # owner sentinel for emitted border-gap rows (emit_border_gaps)
+QUARANTINE_OWNER = -2  # owner sentinel for noding-quarantined features: the
+                       # rows land in the output (area=0, geom=the clipped
+                       # input) instead of silently vanishing — reference
+                       # _no_cut_line_failed semantics
 
 
 def face_measure_areas(faces, g: float, cfg: EngineConfig) -> tuple[list[float], float]:
@@ -194,15 +198,29 @@ def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
     box = np.array([[cxmin, cymin], [cxmax, cymin], [cxmax, cymax], [cxmin, cymax]],
                    dtype=np.int64)
     polys.append((UNIVERSE, [box]))
+    quarantined: list[int] = []
     faces, adj = overlay(
         polys,
         with_adjacency=True,
         simplify_tol_units=cfg.simplify_tolerance / g,
         chaikin_iters=cfg.chaikins_iterations,
         frozen_box=(cxmin, cymin, cxmax, cymax),
+        noding_max_iter=cfg.noding_max_iter,
+        quarantine=quarantined,
     )
+    qrows = []
+    if quarantined:
+        by_fid: dict[int, list] = {}
+        for pid, rings in polys:
+            if pid in quarantined:
+                by_fid.setdefault(pid, []).append(
+                    [r.astype(np.float64) * g for r in rings])
+        for fid in sorted(by_fid):
+            qrows.append((cell, QUARANTINE_OWNER, [fid], 0.0,
+                          wkb.dump_multipolygon(by_fid[fid])))
     if not faces:
-        return pd.DataFrame(columns=["cell_id", "owner", "other_ids", "area", "geom"])
+        return pd.DataFrame(
+            qrows, columns=["cell_id", "owner", "other_ids", "area", "geom"])
     border_faces = set()
     for k, f in enumerate(faces):
         s = f.shell
@@ -242,7 +260,8 @@ def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
         ]
         rows.append((cell, owner, others, area2 / 2.0 * g * g,
                      wkb.dump_multipolygon(mp)))
-    return pd.DataFrame(rows, columns=["cell_id", "owner", "other_ids", "area", "geom"])
+    return pd.DataFrame(rows + qrows,
+                        columns=["cell_id", "owner", "other_ids", "area", "geom"])
 
 
 def _bucket_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,

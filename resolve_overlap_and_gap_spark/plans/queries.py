@@ -676,7 +676,7 @@ def q_resolve_healed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fast path: the resolve overlay emits the border gaps itself — no
     # second detection pass (equivalence: tests/test_healed_fastpath.py)
     both = resolve(layer, cfg, res=res, emit_border_gaps=True).localCheckpoint()
-    pieces = both.where(F.col("owner") != GAP_OWNER)
+    pieces = both.where(F.col("owner") >= 0)
     gaps = both.where(F.col("owner") == GAP_OWNER).select("cell_id", "geom")
     healed = border_gap_merge(layer, pieces, cfg, res=res, border_gaps=gaps,
                               checkpoint=False)
