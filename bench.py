@@ -44,6 +44,11 @@ BENCH_QUERIES = [
     "simhash_neardup",
     "top_terms",
     "bpe_tokens",
+    # ANN scale paths + multimodal plumbing (rows-only in CORRECTNESS, but
+    # they are the 100TB-path operators — bench them)
+    "ann_lsh",
+    "ann_ivf",
+    "multimodal_features",
     # relational / semi-structured
     "star_join",
     "json_props",
@@ -55,9 +60,13 @@ BENCH_QUERIES = [
     "knn_geo_ring",
     "mercator",
     "tiles_to_vector",
-    # geometry engine (Arrow-batched arrangement kernels)
-    "detect_polygons",
-    "resolve_polygons",
+    # geometry engine (Arrow-batched arrangement kernels) — the balanced
+    # (adaptive-resolution) grid is the benched default: it avoids the
+    # global res-flip cliff (BASELINE.md, N=800k) while matching fixed-res
+    # output (tests/test_resolve_balanced.py); fixed-res variants stay
+    # available as detect_polygons / resolve_polygons in queries()
+    "detect_balanced",
+    "resolve_balanced",
     "dissolve_polygons",
     "resolve_healed",
 ]

@@ -102,11 +102,25 @@ def minhash_lsh_pairs(sig: DataFrame, bands: int = 4, rows_per_band: int = 4) ->
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
-                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs sharing >=1 shingle.
     |A∩B| via shingle equi-join; |A∪B| = |A|+|B|-|A∩B|. Jaccard reported
-    x1e6 floored (portable integer output)."""
+    x1e6 floored (portable integer output).
+
+    max_df (stop-shingle cap): a shingle appearing in more than max_df
+    documents contributes df^2 rows to the equi-join — one corpus-wide
+    boilerplate shingle makes the join quadratic in corpus size. With
+    max_df set, shingles with document frequency > max_df are dropped
+    BEFORE the join (from both the intersection and the per-doc sizes, so
+    Jaccard stays a true Jaccard over the filtered shingle space). The
+    dropped set has at most total_shingle_rows / max_df entries, so the
+    anti-join side is bounded; AQE broadcasts it when small."""
     sh = shingles(docs, k, text_col, id_col)
+    if max_df is not None:
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+                 .where(F.col("df") > max_df).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a").join(sh.alias("b"), "shingle")
