@@ -743,6 +743,114 @@ def q_clean_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# World-interior filter for the box-overlay oracle: derived boxes whose
+# footprint sticks out past the grid's world bounds would be clipped by the
+# engine but not by the SQL oracle — exclude them IDENTICALLY on both sides.
+_BOX_WORLD = "xmin >= -180.0 and xmax <= 180.0 and ymin >= -90.0 and ymax <= 90.0"
+DETECT_BOX_SCALE = 2.0  # halfwidth in [0.1, 1.1) deg: rich overlap structure
+
+
+def derived_box_layer(spark: SparkSession, sf_dir: str,
+                      scale: float = DETECT_BOX_SCALE) -> DataFrame:
+    """Axis-aligned WKB rectangle layer from part keys. Corner coordinates
+    are exact multiples of 1e-4 deg (derive.box_sql granularity), so the
+    engine's 1e-5 snap grid represents them EXACTLY — engine face areas are
+    bit-stable multiples of 1e-8 deg^2 and the x1e8-rounded comparison with
+    the SQL oracle is exact, triple overlaps and cell splits included."""
+    from resolve_overlap_and_gap_spark.sources.pages import with_box_wkb
+
+    return with_box_wkb(
+        _boxes(spark, sf_dir, "part", "p_partkey", scale).where(_BOX_WORLD)
+    ).select(F.col("bid").alias("fid"), "geom")
+
+
+def q_detect_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL overlay engine (snap, per-cell arrangement, cross-cell piece
+    summing) made hash-comparable: detect over axis-aligned boxes, pairwise
+    overlap area summed across cells. The oracle computes the same pairwise
+    rectangle intersections in plain SQL — an end-to-end exactness check of
+    the geometry engine itself, not just its bbox prefilter."""
+    from resolve_overlap_and_gap_spark.config import EngineConfig
+    from resolve_overlap_and_gap_spark.operators.overlap_gap import detect_all
+
+    layer = derived_box_layer(spark, sf_dir)
+    cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP)
+    d = detect_all(layer, cfg, res=OVL_RES)
+    return (
+        d.where(F.col("kind") == "overlap")
+        .groupBy("id_a", "id_b")
+        .agg(F.expr("cast(round(sum(area) * 100000000.0) as bigint)")
+             .alias("inter_area_x1e8"))
+    )
+
+
+def o_detect_boxes() -> str:
+    b = _boxes_cte_duck("part", "p_partkey", DETECT_BOX_SCALE)
+    return f"""
+        with bx as (select * from {b} where {_BOX_WORLD})
+        select a.bid as id_a, b.bid as id_b,
+               cast(round((least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin)) *
+                          (least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin)) *
+                          100000000.0) as bigint) as inter_area_x1e8
+        from bx a, bx b
+        where a.bid < b.bid
+          and a.xmin < b.xmax and b.xmin < a.xmax
+          and a.ymin < b.ymax and b.ymin < a.ymax
+    """
+
+
+def q_detect_boxes_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact-overlay oracle through the CONTENT-BALANCED grid: hot
+    cells refine to children, pieces re-sum per pair across the
+    mixed-resolution frontier — proving the adaptive partitioning is
+    exactness-preserving, not just the fixed grid. Shares o_detect_boxes."""
+    from resolve_overlap_and_gap_spark.config import EngineConfig, GridConfig
+    from resolve_overlap_and_gap_spark.operators.overlap_gap import (
+        detect_all_balanced,
+    )
+
+    layer = derived_box_layer(spark, sf_dir)
+    cfg = EngineConfig(
+        snap_tolerance=DETECT_CFG_SNAP,
+        grid=GridConfig(base_resolution=5, max_resolution=12, max_rows_in_each_cell=200),
+    )
+    d = detect_all_balanced(layer, cfg)
+    return (
+        d.where(F.col("kind") == "overlap")
+        .groupBy("id_a", "id_b")
+        .agg(F.expr("cast(round(sum(area) * 100000000.0) as bigint)")
+             .alias("inter_area_x1e8"))
+    )
+
+
+def q_clean_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's post-run validation as a CONSTANT-comparable oracle
+    row (resolve_overlap_gap_compare_result.sql after-phase): after
+    resolve + border heal, re-detection must find ZERO overlaps and ZERO
+    small interior gaps. The oracle is the constant row — any engine
+    regression (missed overlap, unmerged sliver) flips the hash."""
+    from resolve_overlap_and_gap_spark.config import EngineConfig
+    from resolve_overlap_and_gap_spark.operators.compare import compare_before_after
+
+    layer = derived_polygon_layer(spark, sf_dir)
+    cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=1e-4)
+    out = compare_before_after(layer, cfg, res=_density_res(spark, sf_dir))
+    return out.where(F.col("phase") == "after").select(
+        "phase",
+        F.col("n_overlaps").cast("long").alias("n_overlaps"),
+        F.expr("cast(round(overlap_area * 1e9) as bigint)").alias("overlap_area_x1e9"),
+        F.col("n_small_interior_gaps").cast("long").alias("n_small_interior_gaps"),
+    )
+
+
+def o_clean_invariants() -> str:
+    return """
+        select 'after' as phase, cast(0 as bigint) as n_overlaps,
+               cast(0 as bigint) as overlap_area_x1e9,
+               cast(0 as bigint) as n_small_interior_gaps
+    """
+
+
 def q_dissolve_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dissolve (ST_Union GROUP BY key, A2): union of derived n-gon
     footprints per group of 100 pages; internal/overlap edges healed.
@@ -1200,6 +1308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_balanced": q_detect_balanced,
         "resolve_balanced": q_resolve_balanced,
         "clean_metrics": q_clean_metrics,
+        "detect_boxes": q_detect_boxes,
+        "detect_boxes_balanced": q_detect_boxes_balanced,
+        "clean_invariants": q_clean_invariants,
     }
 
 
@@ -1239,4 +1350,7 @@ def oracle_sql() -> dict[str, str]:
         "mercator": o_mercator(),
         "interval_count": o_interval_count(),
         "pip_polygon": o_pip_polygon(),
+        "detect_boxes": o_detect_boxes(),
+        "detect_boxes_balanced": o_detect_boxes(),
+        "clean_invariants": o_clean_invariants(),
     }

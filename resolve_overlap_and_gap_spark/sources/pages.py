@@ -128,3 +128,28 @@ def with_regular_ngon(df: DataFrame, k: int = 8, scale: float = 1.0,
         return pd.Series(out)
 
     return df.withColumn("geom", ngon(F.col(id_col), F.col("px"), F.col("py")))
+
+
+def with_box_wkb(df: DataFrame) -> DataFrame:
+    """WKB Polygon rectangle from footprint box columns (xmin/ymin/xmax/
+    ymax, e.g. derive.box_select). Axis-aligned boxes make the full overlay
+    engine ORACLE-CHECKABLE: pairwise box intersection areas are plain SQL
+    (greatest/least), so detect-over-boxes can be hash-compared against
+    DuckDB while still exercising the real cell-partitioned arrangement."""
+    @F.pandas_udf(T.BinaryType())
+    def boxwkb(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series,
+               ymax: pd.Series) -> pd.Series:
+        x0 = xmin.to_numpy(dtype=np.float64)
+        y0 = ymin.to_numpy(dtype=np.float64)
+        x1 = xmax.to_numpy(dtype=np.float64)
+        y1 = ymax.to_numpy(dtype=np.float64)
+        out = []
+        for j in range(len(x0)):
+            ring = np.array([[x0[j], y0[j]], [x1[j], y0[j]],
+                             [x1[j], y1[j]], [x0[j], y1[j]]])
+            out.append(_wkb.dump_polygon([ring]))
+        return pd.Series(out)
+
+    return df.withColumn(
+        "geom", boxwkb(F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))
+    )
