@@ -72,3 +72,42 @@ def test_validate_coverage(spark):
                               min_gap_area=cfg.min_area_to_keep).collect()[0]
     assert v_all.n_overlap_pairs == 0
     assert v_all.n_interior_gaps == v_big.n_interior_gaps  # no slivers left
+
+@pytest.mark.spark
+def test_polygonize_distributed_matches_single(spark):
+    """Distributed (cell-partitioned) polygonize == single-partition
+    arrangement on a 4x3 lattice of unit squares spanning many res=10
+    cells: same face count, same areas, same border-line attribution."""
+    rows, lid = [], 0
+    KX, KY = 4, 3
+    for i in range(KX + 1):
+        for j in range(KY):
+            lid += 1
+            rows.append((lid, _ls((i, j), (i, j + 1))))
+    for j in range(KY + 1):
+        for i in range(KX):
+            lid += 1
+            rows.append((lid, _ls((i, j), (i + 1, j))))
+    df = spark.createDataFrame(rows, "lid long, geom binary")
+    single = polygonize_lines(df, G, res=None).collect()
+    dist = polygonize_lines(df, G, res=10).collect()
+    assert len(single) == len(dist) == KX * KY
+    for s, d in zip(sorted(r.area for r in single),
+                    sorted(r.area for r in dist)):
+        assert d == pytest.approx(s, rel=1e-12)
+    assert (sorted(tuple(r.border_line_ids) for r in single)
+            == sorted(tuple(r.border_line_ids) for r in dist))
+
+
+@pytest.mark.spark
+def test_polygonize_enclosed_empty_cells(spark):
+    """A single ring spanning many cells whose interior contains FULLY
+    EMPTY cells: the empty-cell pseudo-pieces must carry connectivity so
+    the interior reassembles as one bounded face (and the outside, which
+    reaches the region rim through the margin cells, is dropped)."""
+    rows = [(1, _ls((0.1, 0.1), (3.1, 0.1), (3.1, 3.1), (0.1, 3.1), (0.1, 0.1)))]
+    df = spark.createDataFrame(rows, "lid long, geom binary")
+    faces = polygonize_lines(df, G, res=10).collect()
+    assert len(faces) == 1
+    assert faces[0].area == pytest.approx(9.0, rel=1e-9)
+    assert list(faces[0].border_line_ids) == [1]
