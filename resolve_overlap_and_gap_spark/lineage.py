@@ -11,9 +11,14 @@ function_resolve_overlap_gap_single_cell.sql:126-132,975-981). Here:
   * the lineage table (stage, cell_id, n_rows, wall_ms, ts) is appended
     AFTER the data commit; resume = anti-join cells against it.
 
-Storage is parquet directories in this sandbox; the API is table-format
-shaped (append / overwrite-partitions / read) so an Iceberg catalog is a
-config swap (writeTo(...).overwritePartitions()), not a redesign.
+Storage defaults to parquet directories; pass table_format="iceberg" (plus
+a configured Spark catalog) to run the SAME API against Iceberg tables:
+append -> writeTo(t).append(), dynamic partition overwrite ->
+writeTo(t).overwritePartitions(), read -> spark.read.table(t).  The north
+rule names Iceberg; the sandbox ships no iceberg-spark-runtime jar, so the
+iceberg path is exercised by tests/test_lineage_iceberg.py whenever the jar
+is present (it skips with the missing-jar reason otherwise) — see
+README "Iceberg mode" for the exact spark-submit config diff.
 """
 
 from __future__ import annotations
@@ -26,23 +31,36 @@ from pyspark.sql import functions as F
 
 
 class Lineage:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 table_format: str = "parquet"):
+        """root: a directory path (parquet mode) or a catalog.namespace
+        prefix like `local.rog` (iceberg mode)."""
+        assert table_format in ("parquet", "iceberg")
         self.spark = spark
         self.root = str(root)
+        self.fmt = table_format
         self._lineage_dir = f"{self.root}/_lineage"
+        self._lineage_tbl = f"{self.root}.lineage"
 
     # ------------------------------------------------------------ lineage
+    def _lineage_exists(self) -> bool:
+        if self.fmt == "iceberg":
+            return self.spark.catalog.tableExists(self._lineage_tbl)
+        return Path(self._lineage_dir).exists()
+
     def has_stage(self, stage: str) -> bool:
-        return Path(self._lineage_dir).exists() and self._read_lineage().where(
+        return self._lineage_exists() and self._read_lineage().where(
             F.col("stage") == stage
         ).limit(1).count() > 0
 
     def _read_lineage(self) -> DataFrame:
+        if self.fmt == "iceberg":
+            return self.spark.read.table(self._lineage_tbl)
         return self.spark.read.parquet(self._lineage_dir)
 
     def done_cells(self, stage: str) -> DataFrame:
         """(cell_id) already completed for a stage."""
-        if not Path(self._lineage_dir).exists():
+        if not self._lineage_exists():
             return self.spark.createDataFrame([], "cell_id long")
         return (
             self._read_lineage().where(F.col("stage") == stage)
@@ -55,16 +73,30 @@ class Lineage:
 
     def log(self, stage: str, metrics: DataFrame) -> None:
         """Append per-cell metrics (cell_id, n_rows[, extra numeric cols])."""
-        (
-            metrics.withColumn("stage", F.lit(stage))
-            .withColumn("ts", F.lit(time.time()))
-            .write.mode("append").parquet(self._lineage_dir)
+        out = metrics.withColumn("stage", F.lit(stage)).withColumn(
+            "ts", F.lit(time.time())
         )
+        if self.fmt == "iceberg":
+            if not self._lineage_exists():
+                out.writeTo(self._lineage_tbl).create()
+            else:
+                out.writeTo(self._lineage_tbl).append()
+        else:
+            out.write.mode("append").parquet(self._lineage_dir)
 
     # ------------------------------------------------------------ results
     def write_cells(self, table: str, df: DataFrame) -> None:
         """Idempotent per-cell write: dynamic partition overwrite replaces
-        exactly the recomputed cell partitions."""
+        exactly the recomputed cell partitions (Iceberg: the same commit
+        semantics via overwritePartitions, which is also ATOMIC — a crash
+        mid-write leaves the previous snapshot visible)."""
+        if self.fmt == "iceberg":
+            tbl = f"{self.root}.{table}"
+            if not self.spark.catalog.tableExists(tbl):
+                df.writeTo(tbl).partitionedBy(F.col("cell_id")).create()
+            else:
+                df.writeTo(tbl).overwritePartitions()
+            return
         (
             df.write.partitionBy("cell_id")
             .option("partitionOverwriteMode", "dynamic")
@@ -73,6 +105,8 @@ class Lineage:
         )
 
     def read(self, table: str) -> DataFrame:
+        if self.fmt == "iceberg":
+            return self.spark.read.table(f"{self.root}.{table}")
         return self.spark.read.parquet(f"{self.root}/{table}")
 
 
