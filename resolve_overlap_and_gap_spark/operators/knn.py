@@ -45,15 +45,20 @@ def knn_bruteforce(points: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     return _topk(scored, k).select("qid", "pid", "rank", "d2")
 
 
-def _cells_in_rings(queries: DataFrame, res: int, ring: int) -> DataFrame:
-    """(qid, cell_id) for all cells within Chebyshev ring distance <= ring of
-    the query's cell — generated with sequence()+explode, bit-math morton."""
+def _cells_in_rings(queries: DataFrame, res: int, ring: int,
+                    min_ring: int = 0) -> DataFrame:
+    """(qid, cell_id) for all cells with Chebyshev ring distance in
+    (min_ring, ring] of the query's cell — generated with
+    sequence()+explode, bit-math morton. min_ring > 0 yields the ANNULUS
+    only, so an expanding search never re-joins already-scanned cells."""
     n = 1 << res
     ix, iy = grid.xy_col(F.col("qx"), F.col("qy"), res)
     q = queries.withColumn("_ix", ix).withColumn("_iy", iy)
     dx = F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("dx")
     q = q.select("*", dx)
     q = q.select("*", F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("dy"))
+    if min_ring > 0:
+        q = q.where(F.greatest(F.abs(F.col("dx")), F.abs(F.col("dy"))) > min_ring)
     jx = F.pmod(F.col("_ix") + F.col("dx"), F.lit(n))  # wrap lon
     jy = F.col("_iy") + F.col("dy")
     q = q.where((jy >= 0) & (jy < n))
@@ -85,6 +90,12 @@ def knn_cell_ring(points: DataFrame, queries: DataFrame, k: int, res: int | None
     Each ring's top-k and finished-set are persisted: the driver loop probes
     them (stats + isEmpty) and the final union reads them again — without
     persistence every ring's candidate join would recompute ~3x.
+
+    Unfinished queries scan only the NEW annulus each round (cells with
+    Chebyshev distance in (prev_ring, ring]); candidates already seen are
+    carried forward as the persisted previous top-k — sufficient, since a
+    point outside a round's top-k is farther than its kth and can never
+    enter the final top-k.
     """
     if res is None:
         res = auto_res(points.count())
@@ -96,16 +107,20 @@ def knn_cell_ring(points: DataFrame, queries: DataFrame, k: int, res: int | None
     pts.cache()
     remaining = queries
     ring = 1
+    prev_ring = 0
+    prev_top: DataFrame | None = None  # (qid, pid, d2) of unfinished queries
     done_parts: list[DataFrame] = []
     to_unpersist: list[DataFrame] = []
     while ring <= max_ring:
-        cand_cells = _cells_in_rings(remaining, res, ring)
+        cand_cells = _cells_in_rings(remaining, res, ring, min_ring=prev_ring)
         j = cand_cells.join(pts, "cell_id").where(F.col("pid") != F.col("qid"))
         scored = j.withColumn(
             "d2",
             (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
             + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy")),
-        )
+        ).select("qid", "pid", "d2")
+        if prev_top is not None:
+            scored = scored.unionByName(prev_top)
         top = _topk(scored, k).select("qid", "pid", "rank", "d2").persist()
         to_unpersist.append(top)
         guarantee = (ring * cell_h) ** 2
@@ -119,6 +134,10 @@ def knn_cell_ring(points: DataFrame, queries: DataFrame, k: int, res: int | None
         remaining = remaining.join(F.broadcast(finished_ids), "qid", "left_anti")
         if remaining.isEmpty():
             break
+        prev_top = top.join(F.broadcast(finished_ids), "qid", "left_anti").select(
+            "qid", "pid", "d2"
+        )
+        prev_ring = ring
         ring *= 2
     out = done_parts[0]
     for p in done_parts[1:]:
