@@ -1,0 +1,89 @@
+"""Per-geometry scalar functions as Arrow-batched Spark columns:
+ST_Buffer and ST_PointOnSurface (SURVEY.md §2.8 rows previously absent;
+reference uses: …init.sql:145-146 metagrid shrink/lock pads, label
+points). Kernels live in geom/buffer.py; these wrappers only do the
+WKB <-> grid-unit plumbing, batched per Arrow page (no per-row Python)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from resolve_overlap_and_gap_spark.geom import wkb
+
+
+def st_buffer(geom: Column, dist: float, grid_size: float = 1e-5,
+              quad_segs: int = 8) -> Column:
+    """WKB polygon/multipolygon/linestring -> buffered WKB multipolygon.
+    dist in layer units (degrees here); negative erodes polygons."""
+    from resolve_overlap_and_gap_spark.geom.buffer import buffer_line, buffer_polygon
+
+    d_units = dist / grid_size
+
+    @F.pandas_udf(T.BinaryType())
+    def _buf(geoms: pd.Series) -> pd.Series:
+        out = []
+        for b in geoms:
+            kind, _ = wkb.load(bytes(b))
+            polys_out: list[list[np.ndarray]] = []
+            if kind == "linestring":
+                _, coords = wkb.load(bytes(b))
+                c = np.floor(np.asarray(coords, np.float64) / grid_size + 0.5).astype(np.int64)
+                polys_out = buffer_line(c, d_units, quad_segs)
+            else:
+                for rings in wkb.load_polygons(bytes(b)):
+                    ir = [np.floor(np.asarray(r, np.float64) / grid_size + 0.5).astype(np.int64)
+                          for r in rings]
+                    polys_out.extend(buffer_polygon(ir, d_units, quad_segs))
+            out.append(wkb.dump_multipolygon(
+                [[r.astype(np.float64) * grid_size for r in rings]
+                 for rings in polys_out]
+            ))
+        return pd.Series(out)
+
+    return _buf(geom)
+
+
+POS_SCHEMA = T.StructType([
+    T.StructField("x", T.DoubleType()),
+    T.StructField("y", T.DoubleType()),
+])
+
+
+def st_point_on_surface(geom: Column, grid_size: float = 1e-5) -> Column:
+    """WKB polygon/multipolygon -> struct(x, y) strictly inside (largest
+    part for multipolygons, by absolute shell area)."""
+    from resolve_overlap_and_gap_spark.geom.buffer import point_on_surface
+    from resolve_overlap_and_gap_spark.geom.core import ring_area2
+
+    @F.pandas_udf(POS_SCHEMA)
+    def _pos(geoms: pd.Series) -> pd.DataFrame:
+        xs = np.empty(len(geoms)); ys = np.empty(len(geoms))
+        for i, b in enumerate(geoms):
+            best_rings, best_a2 = None, -1.0
+            for rings in wkb.load_polygons(bytes(b)):
+                ir = [np.floor(np.asarray(r, np.float64) / grid_size + 0.5).astype(np.int64)
+                      for r in rings]
+                a2 = abs(ring_area2(ir[0].astype(np.float64)))
+                if a2 > best_a2:
+                    best_a2, best_rings = a2, ir
+            px, py = point_on_surface(best_rings)
+            xs[i], ys[i] = px * grid_size, py * grid_size
+        return pd.DataFrame({"x": xs, "y": ys})
+
+    return _pos(geom)
+
+
+def with_buffer(df: DataFrame, dist: float, grid_size: float = 1e-5,
+                quad_segs: int = 8, geom_col: str = "geom",
+                out_col: str = "geom_buf") -> DataFrame:
+    return df.withColumn(out_col, st_buffer(F.col(geom_col), dist, grid_size, quad_segs))
+
+
+def with_point_on_surface(df: DataFrame, grid_size: float = 1e-5,
+                          geom_col: str = "geom") -> DataFrame:
+    p = st_point_on_surface(F.col(geom_col), grid_size)
+    return df.withColumn("_p", p).select("*", "_p.x", "_p.y").drop("_p")
