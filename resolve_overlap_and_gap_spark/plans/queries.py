@@ -695,9 +695,14 @@ def q_detect_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     from resolve_overlap_and_gap_spark.operators.overlap_gap import detect_all_balanced
 
     layer = derived_polygon_layer(spark, sf_dir)
+    # base = the density-derived sweet spot (~40 rows/cell): refinement
+    # then triggers ONLY on genuine hot spots, so the balanced path costs
+    # the same as fixed-res on uniform data (measured at sf0.1: 15.8 s vs
+    # 17.5 s fixed) instead of paying multi-level assignment for nothing
     cfg = EngineConfig(
         snap_tolerance=DETECT_CFG_SNAP,
-        grid=GridConfig(base_resolution=5, max_resolution=12, max_rows_in_each_cell=200),
+        grid=GridConfig(base_resolution=_density_res(spark, sf_dir),
+                        max_resolution=12, max_rows_in_each_cell=160),
     )
     return detect_all_balanced(layer, cfg).select(
         "cell_id", "kind", "id_a", "id_b",
@@ -717,7 +722,8 @@ def q_resolve_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     layer = derived_polygon_layer(spark, sf_dir)
     cfg = EngineConfig(
         snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=1e-4,
-        grid=GridConfig(base_resolution=5, max_resolution=12, max_rows_in_each_cell=200),
+        grid=GridConfig(base_resolution=_density_res(spark, sf_dir),
+                        max_resolution=12, max_rows_in_each_cell=160),
     )
     return resolve_balanced(layer, cfg).select(
         "cell_id", "owner",
@@ -810,9 +816,11 @@ def q_detect_boxes_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     layer = derived_box_layer(spark, sf_dir)
+    # deliberately COARSE base: forces several refinement levels at sf0.01
+    # so the oracle exercises the mixed-resolution frontier, not a no-op
     cfg = EngineConfig(
         snap_tolerance=DETECT_CFG_SNAP,
-        grid=GridConfig(base_resolution=5, max_resolution=12, max_rows_in_each_cell=200),
+        grid=GridConfig(base_resolution=2, max_resolution=12, max_rows_in_each_cell=64),
     )
     d = detect_all_balanced(layer, cfg)
     return (
