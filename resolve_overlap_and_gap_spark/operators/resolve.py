@@ -208,6 +208,23 @@ def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
         noding_max_iter=cfg.noding_max_iter,
         quarantine=quarantined,
     )
+    # payload pass-through (reference column_data_as_json,
+    # function_resolve_overlap_gap_init.sql:249): the OWNER's record rides
+    # through the kernel, no post-resolve attribute re-join needed
+    payload_of: dict[int, object] | None = None
+    if "payload" in pdf.columns:
+        payload_of = {}
+        for fid, p in zip(pdf["fid"], pdf["payload"]):
+            payload_of.setdefault(int(fid), p)
+
+    def _row(cell_, owner_, others_, area_, geom_):
+        base = (cell_, owner_, others_, area_, geom_)
+        if payload_of is None:
+            return base
+        return base + (payload_of.get(owner_),)
+
+    cols = ["cell_id", "owner", "other_ids", "area", "geom"] + (
+        ["payload"] if payload_of is not None else [])
     qrows = []
     if quarantined:
         by_fid: dict[int, list] = {}
@@ -216,11 +233,13 @@ def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
                 by_fid.setdefault(pid, []).append(
                     [r.astype(np.float64) * g for r in rings])
         for fid in sorted(by_fid):
-            qrows.append((cell, QUARANTINE_OWNER, [fid], 0.0,
-                          wkb.dump_multipolygon(by_fid[fid])))
+            q = (cell, QUARANTINE_OWNER, [fid], 0.0,
+                 wkb.dump_multipolygon(by_fid[fid]))
+            if payload_of is not None:  # the quarantined feature's record
+                q += (payload_of.get(fid),)
+            qrows.append(q)
     if not faces:
-        return pd.DataFrame(
-            qrows, columns=["cell_id", "owner", "other_ids", "area", "geom"])
+        return pd.DataFrame(qrows, columns=cols)
     border_faces = set()
     for k, f in enumerate(faces):
         s = f.shell
@@ -247,8 +266,8 @@ def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
                     + [h.astype(np.float64) * g for h in faces[i].holes]
                     for i in members
                 ]
-                rows.append((cell, GAP_OWNER, [], area2 / 2.0 * g * g,
-                             wkb.dump_multipolygon(mp)))
+                rows.append(_row(cell, GAP_OWNER, [], area2 / 2.0 * g * g,
+                                 wkb.dump_multipolygon(mp)))
             continue  # unclaimed gap above min_area stays a gap
         owner = root_cover[0]
         others = root_cover[1:]
@@ -258,10 +277,9 @@ def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
             + [h.astype(np.float64) * g for h in faces[i].holes]
             for i in members
         ]
-        rows.append((cell, owner, others, area2 / 2.0 * g * g,
-                     wkb.dump_multipolygon(mp)))
-    return pd.DataFrame(rows + qrows,
-                        columns=["cell_id", "owner", "other_ids", "area", "geom"])
+        rows.append(_row(cell, owner, others, area2 / 2.0 * g * g,
+                         wkb.dump_multipolygon(mp)))
+    return pd.DataFrame(rows + qrows, columns=cols)
 
 
 def _bucket_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
@@ -271,22 +289,42 @@ def _bucket_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
         for _, sub in pdf.groupby("cell_id", sort=True)
     ]
     if not parts:
-        return pd.DataFrame(columns=["cell_id", "owner", "other_ids", "area", "geom"])
+        cols = ["cell_id", "owner", "other_ids", "area", "geom"]
+        if "payload" in pdf.columns:
+            cols.append("payload")
+        return pd.DataFrame(columns=cols)
     return pd.concat(parts, ignore_index=True)
 
 
 def resolve(features: DataFrame, cfg: EngineConfig, res: int = 8,
             geom_col: str = "geom", id_col: str = "fid",
-            n_buckets: int = 256, emit_border_gaps: bool = False) -> DataFrame:
-    """-> (cell_id, owner, other_ids, area, geom) — clean coverage pieces.
-    With emit_border_gaps, extra rows (owner = GAP_OWNER = -1) carry the
-    border-touching sub-min gap faces for the boundary-exchange pass.
+            n_buckets: int = 256, emit_border_gaps: bool = False,
+            payload_col: str | None = None) -> DataFrame:
+    """-> (cell_id, owner, other_ids, area, geom[, payload]) — clean
+    coverage pieces.  With emit_border_gaps, extra rows (owner = GAP_OWNER
+    = -1) carry the border-touching sub-min gap faces for the
+    boundary-exchange pass.
+
+    payload_col: carry the named column THROUGH the kernel and attach the
+    owner's value to every output piece (quarantine rows carry the
+    quarantined feature's) — the reference's column_data_as_json pattern
+    (function_resolve_overlap_gap_init.sql:249).  Trade-off vs the default
+    post-resolve re-join (resolve_layer): the payload bytes ship through
+    the covering-cell shuffle once per covering cell, but the input is
+    scanned exactly once — prefer it when the payload is small relative to
+    the geometry or the input scan is the expensive part.
 
     Cells are processed in hashed buckets (one Arrow round-trip covers many
     cells; per-cell groups would pay applyInPandas overhead per cell)."""
-    feats = features.select(
-        F.col(id_col).cast("long").alias("fid"), F.col(geom_col).alias("geom")
-    )
+    sel = [F.col(id_col).cast("long").alias("fid"), F.col(geom_col).alias("geom")]
+    schema = RESOLVE_SCHEMA
+    if payload_col is not None:
+        sel.append(F.col(payload_col).alias("payload"))
+        schema = T.StructType(
+            RESOLVE_SCHEMA.fields
+            + [T.StructField("payload", features.schema[payload_col].dataType)]
+        )
+    feats = features.select(*sel)
     cells = with_cells(feats, res).withColumn(
         "bucket", F.pmod(F.hash("cell_id"), F.lit(n_buckets))
     )
@@ -294,7 +332,7 @@ def resolve(features: DataFrame, cfg: EngineConfig, res: int = 8,
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return _bucket_kernel(pdf, cfg, res, emit_border_gaps)
 
-    return cells.groupBy("bucket").applyInPandas(kernel, RESOLVE_SCHEMA)
+    return cells.groupBy("bucket").applyInPandas(kernel, schema)
 
 
 def resolve_balanced(features: DataFrame, cfg: EngineConfig,
