@@ -831,6 +831,54 @@ def q_detect_boxes_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_polygonize_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED polygonize made hash-comparable: a lattice of vertical/
+    horizontal lines at supplier-key-derived positions encloses exactly
+    (K-1)x(L-1) rectangular faces whose areas are plain SQL (consecutive
+    position differences).  res=10 forces the faces to span many cells, so
+    the oracle covers per-cell overlay, exact border clipping, free-interval
+    reassembly, and unbounded-face elimination end-to-end.  Line positions
+    are multiples of 0.01 deg = exact on the 1e-5 snap grid.  The collected
+    position lists are bounded dims (<=89+71 values)."""
+    import numpy as np
+
+    from resolve_overlap_and_gap_spark.geom import wkb as _wkb
+    from resolve_overlap_and_gap_spark.operators.lines import polygonize_lines
+
+    sup = _read(spark, sf_dir, "supplier")
+    xs = sorted(r.v for r in sup.selectExpr(
+        "cast(s_suppkey * 37 % 89 as bigint) as v").distinct().collect())
+    ys = sorted(r.v for r in sup.selectExpr(
+        "cast(s_suppkey * 53 % 71 as bigint) as v").distinct().collect())
+    S = 0.01
+    x0, x1, y0, y1 = xs[0] * S, xs[-1] * S, ys[0] * S, ys[-1] * S
+    rows, lid = [], 0
+    for x in xs:
+        lid += 1
+        rows.append((lid, _wkb.dump_linestring(np.array([[x * S, y0], [x * S, y1]]))))
+    for y in ys:
+        lid += 1
+        rows.append((lid, _wkb.dump_linestring(np.array([[x0, y * S], [x1, y * S]]))))
+    df = spark.createDataFrame(rows, "lid long, geom binary")
+    faces = polygonize_lines(df, DETECT_CFG_SNAP, res=10)
+    return faces.selectExpr(
+        "cast(round(area * 100000000.0) as bigint) as area_x1e8"
+    )
+
+
+def o_polygonize_lattice() -> str:
+    return """
+        with xs as (select distinct cast(s_suppkey * 37 % 89 as bigint) as v from supplier),
+             ys as (select distinct cast(s_suppkey * 53 % 71 as bigint) as v from supplier),
+             xp as (select v, lead(v) over (order by v) as nv from xs),
+             yp as (select v, lead(v) over (order by v) as nv from ys)
+        select cast(round((xp.nv - xp.v) * 0.01 * (yp.nv - yp.v) * 0.01 *
+                          100000000.0) as bigint) as area_x1e8
+        from xp, yp
+        where xp.nv is not null and yp.nv is not null
+    """
+
+
 def q_clean_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's post-run validation as a CONSTANT-comparable oracle
     row (resolve_overlap_gap_compare_result.sql after-phase): after
@@ -1319,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_boxes": q_detect_boxes,
         "detect_boxes_balanced": q_detect_boxes_balanced,
         "clean_invariants": q_clean_invariants,
+        "polygonize_lattice": q_polygonize_lattice,
     }
 
 
@@ -1361,4 +1410,5 @@ def oracle_sql() -> dict[str, str]:
         "detect_boxes": o_detect_boxes(),
         "detect_boxes_balanced": o_detect_boxes(),
         "clean_invariants": o_clean_invariants(),
+        "polygonize_lattice": o_polygonize_lattice(),
     }
