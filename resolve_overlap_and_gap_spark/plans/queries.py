@@ -879,6 +879,90 @@ def o_polygonize_lattice() -> str:
     """
 
 
+_STRIP_S = 0.01  # strip-layout unit (deg); all corners multiples of 0.005
+
+
+def _strip_box_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Controlled-overlap box layout over dense customer keys: box k sits
+    at ((k%50)*2S, (k div 50)*2S) with size 2.5S x 1.5S, so it overlaps
+    ONLY its right neighbor (2.5S > 2S in x; 1.5S < 2S in y; 2.5S < 4S
+    bars triples).  That makes resolve's min-id owner areas and dissolve's
+    group union areas CLOSED-FORM in SQL — the exactness oracle for the
+    full resolve/dissolve pipelines."""
+    from resolve_overlap_and_gap_spark.sources.pages import with_box_wkb
+
+    S = _STRIP_S
+    b = _read(spark, sf_dir, "customer").selectExpr(
+        "cast(c_custkey as bigint) as bid",
+        f"(c_custkey % 50) * {2 * S!r} as xmin",
+        f"cast(floor(c_custkey / 50.0) as bigint) * {2 * S!r} as ymin",
+        f"(c_custkey % 50) * {2 * S!r} + {2.5 * S!r} as xmax",
+        f"cast(floor(c_custkey / 50.0) as bigint) * {2 * S!r} + {1.5 * S!r} as ymax",
+    )
+    return with_box_wkb(b).select(F.col("bid").alias("fid"), "geom")
+
+
+def q_resolve_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL resolve pipeline (overlay, face ownership, cross-cell
+    piece summing) hash-compared: on the strip layout the min-id owner
+    rule has a closed form — owner k keeps its box minus the overlap it
+    loses to k-1 (which owns their shared region).  res=12 keeps per-cell
+    box counts low and spreads each box over several cells."""
+    from resolve_overlap_and_gap_spark.config import EngineConfig
+    from resolve_overlap_and_gap_spark.operators.resolve import resolve
+
+    layer = _strip_box_layer(spark, sf_dir)
+    cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=0.0)
+    out = resolve(layer, cfg, res=12)
+    return (
+        out.groupBy(F.col("owner"))
+        .agg(F.expr("cast(round(sum(area) * 100000000.0) as bigint)")
+             .alias("area_x1e8"))
+    )
+
+
+def o_resolve_strip() -> str:
+    # base = 2.5S*1.5S = 37500e-8 deg^2; pair overlap = 0.5S*1.5S = 7500e-8
+    return """
+        with b as (select cast(c_custkey as bigint) as k from customer)
+        select a.k as owner,
+               cast(37500 - case when a.k % 50 <> 0 and l.k is not null
+                                 then 7500 else 0 end as bigint) as area_x1e8
+        from b a left join b l on l.k = a.k - 1
+    """
+
+
+def q_dissolve_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL dissolve (ST_Union GROUP BY) hash-compared: groups of 10
+    consecutive strip boxes union into one chain; union area = 10*base -
+    9*overlap is closed-form in SQL (no triples by construction)."""
+    from resolve_overlap_and_gap_spark.operators.dissolve import dissolve
+
+    layer = _strip_box_layer(spark, sf_dir).selectExpr(
+        "cast(floor(fid / 10.0) as bigint) as grp", "geom"
+    )
+    out = dissolve(layer, "grp", DETECT_CFG_SNAP)
+    return out.select(
+        F.col("key").alias("grp"),
+        F.expr("cast(round(area * 100000000.0) as bigint)").alias("area_x1e8"),
+    )
+
+
+def o_dissolve_strip() -> str:
+    return """
+        with b as (select cast(c_custkey as bigint) as k from customer),
+             boxes as (select k, cast(floor(k / 10.0) as bigint) as grp from b),
+             pairs as (select cast(floor(a.k / 10.0) as bigint) as grp
+                       from b a join b c on c.k = a.k + 1
+                       where a.k % 10 <> 9 and a.k % 50 <> 49),
+             nb as (select grp, count(*) as n from boxes group by grp),
+             np as (select grp, count(*) as n from pairs group by grp)
+        select nb.grp, cast(37500 * nb.n - 7500 * coalesce(np.n, 0) as bigint)
+               as area_x1e8
+        from nb left join np using (grp)
+    """
+
+
 def q_clean_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's post-run validation as a CONSTANT-comparable oracle
     row (resolve_overlap_gap_compare_result.sql after-phase): after
@@ -1368,6 +1452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_boxes_balanced": q_detect_boxes_balanced,
         "clean_invariants": q_clean_invariants,
         "polygonize_lattice": q_polygonize_lattice,
+        "resolve_strip": q_resolve_strip,
+        "dissolve_strip": q_dissolve_strip,
     }
 
 
@@ -1411,4 +1497,6 @@ def oracle_sql() -> dict[str, str]:
         "detect_boxes_balanced": o_detect_boxes(),
         "clean_invariants": o_clean_invariants(),
         "polygonize_lattice": o_polygonize_lattice(),
+        "resolve_strip": o_resolve_strip(),
+        "dissolve_strip": o_dissolve_strip(),
     }
