@@ -466,19 +466,31 @@ def o_cells_outside_in() -> str:
 DETECT_CFG_SNAP = 1e-5
 
 
+_LAYER_CACHE: dict[tuple, DataFrame] = {}
+
+
 def derived_polygon_layer(spark: SparkSession, sf_dir: str, scale: float = 1.0,
                           table: str = "orders", key: str = "o_orderkey") -> DataFrame:
     """Geo-parse stage on real polygons: deterministic irregular n-gon
-    footprints around page points (sources.pages.with_ngon_footprint)."""
+    footprints around page points (sources.pages.with_ngon_footprint).
+    The derived layer is localCheckpoint-memoized per (session, input):
+    six geometry queries consume the identical layer, and without the memo
+    each ACTION re-runs the Arrow derivation (~2-3 s/action at sf0.1)."""
     from resolve_overlap_and_gap_spark.sources.pages import with_ngon_footprint
 
+    ck = (spark.sparkContext.applicationId, sf_dir, scale, table, key)
+    hit = _LAYER_CACHE.get(ck)
+    if hit is not None:
+        return hit
     pts = _points(spark, sf_dir, table, key)
     # small parquet files arrive as one input split; spread rows before the
     # Arrow UDF stages so geometry derivation parallelizes
     pts = pts.repartition(spark.sparkContext.defaultParallelism * 2)
-    return with_ngon_footprint(pts, scale).select(
+    out = with_ngon_footprint(pts, scale).select(
         F.col("pid").alias("fid"), "geom"
-    )
+    ).localCheckpoint()
+    _LAYER_CACHE[ck] = out
+    return out
 
 
 _SESSIONIZE_SQL = """
