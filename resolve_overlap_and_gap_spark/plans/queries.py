@@ -1050,7 +1050,9 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(sig, bands=4, rows_per_band=2)
 
 
-def o_lsh_pairs() -> str:
+def _lsh_ctes() -> str:
+    """Shared DuckDB CTE text: shingles -> minhash signature -> LSH band
+    candidate pairs (used by o_lsh_pairs and o_dedup_clusters)."""
     hashes = ",\n               ".join(
         f"min({dedup.h32_of_sql('shingle', f':{i}', DUCKDB)}) as mh{i}"
         for i in range(N_MINHASH)
@@ -1062,10 +1064,48 @@ def o_lsh_pairs() -> str:
             where a.doc_id < b.doc_id"""
         for b in range(4)
     )
+    return f"""sh as ({dedup.shingles_duckdb_sql(3)}),
+        sig as (select doc_id, {hashes} from sh group by doc_id),
+        pairs as ({band_joins})"""
+
+
+def o_lsh_pairs() -> str:
     return f"""
-        with sh as ({dedup.shingles_duckdb_sql(3)}),
-        sig as (select doc_id, {hashes} from sh group by doc_id)
-        {band_joins}
+        with {_lsh_ctes()}
+        select id_a, id_b from pairs
+    """
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: MinHash-LSH candidate pairs -> distributed
+    connected components -> every document labeled with its cluster's min
+    doc id (keep-one-per-cluster = where doc_id == cluster_id).  The CC is
+    min-label propagation with pointer jumping — near-dup graphs are
+    near-cliques, so it converges in 2-4 rounds (operators/components.py).
+    Oracle: the SAME pair SQL + a recursive transitive-closure CTE."""
+    from resolve_overlap_and_gap_spark.operators.components import dedup_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, k=3)
+    sig = dedup.minhash_signatures(sh, n_hashes=N_MINHASH)
+    pairs = dedup.minhash_lsh_pairs(sig, bands=4, rows_per_band=2)
+    return dedup_clusters(docs, pairs)
+
+
+def o_dedup_clusters() -> str:
+    return f"""
+        with recursive {_lsh_ctes()},
+        sym as (select id_a as u, id_b as v from pairs
+                union select id_b as u, id_a as v from pairs),
+        reach(u, v) as (select u, v from sym
+                        union
+                        select r.u, s.v from reach r join sym s on r.v = s.u),
+        docs as (select cast(doc_id as bigint) as doc_id from documents)
+        select d.doc_id,
+               cast(coalesce(least(d.doc_id, min(r.v)), d.doc_id) as bigint)
+                 as cluster_id
+        from docs d left join reach r on r.u = d.doc_id
+        group by d.doc_id
     """
 
 
@@ -1466,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize_lattice": q_polygonize_lattice,
         "resolve_strip": q_resolve_strip,
         "dissolve_strip": q_dissolve_strip,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1511,4 +1552,5 @@ def oracle_sql() -> dict[str, str]:
         "polygonize_lattice": o_polygonize_lattice(),
         "resolve_strip": o_resolve_strip(),
         "dissolve_strip": o_dissolve_strip(),
+        "dedup_clusters": o_dedup_clusters(),
     }
