@@ -57,7 +57,20 @@ def main() -> None:
         from resolve_overlap_and_gap_spark.operators.border import border_gap_merge
         from resolve_overlap_and_gap_spark.operators.resolve import GAP_OWNER, resolve
 
+        from resolve_overlap_and_gap_spark.operators.resolve import QUARANTINE_OWNER
+
         both = resolve(layer, cfg, res=res, emit_border_gaps=True).localCheckpoint()
+        # noding-quarantined features land in their own table, never
+        # silently dropped (reference _no_cut_line_failed,
+        # function_resolve_overlap_gap_init.sql:221-232)
+        quarantined = both.where(F.col("owner") == QUARANTINE_OWNER)
+        n_quarantined = quarantined.count()
+        if n_quarantined:
+            quarantined.select(
+                F.col("cell_id"),
+                F.element_at("other_ids", 1).alias("fid"),
+                "geom",
+            ).write.mode("overwrite").parquet(f"{out_dir}_quarantine")
         out = border_gap_merge(
             layer, both.where(F.col("owner") >= 0), cfg, res=res,
             border_gaps=both.where(F.col("owner") == GAP_OWNER).select("cell_id", "geom"),
@@ -100,8 +113,11 @@ def main() -> None:
         raise SystemExit(f"unknown command {cmd}")
     out.write.mode("overwrite").parquet(out_dir)
     n = spark.read.parquet(out_dir).count()
-    print(json.dumps({"cmd": cmd, "rows": n, "sec": round(time.monotonic() - t0, 2),
-                      "out": out_dir}))
+    summary = {"cmd": cmd, "rows": n, "sec": round(time.monotonic() - t0, 2),
+               "out": out_dir}
+    if cmd == "healed":
+        summary["n_quarantined"] = n_quarantined
+    print(json.dumps(summary))
     spark.stop()
 
 
