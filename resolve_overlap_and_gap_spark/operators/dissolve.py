@@ -106,13 +106,31 @@ def _union_one_group(key: int, geoms: list[bytes], grid_size: float) -> tuple:
 
 
 def dissolve(df: DataFrame, key_col: str, grid_size: float,
-             geom_col: str = "geom") -> DataFrame:
+             geom_col: str = "geom", n_salts: int = 1) -> DataFrame:
     """-> (key, area, n_parts, geom WKB multipolygon): union of all
     geometries per key on the snap grid (winding >= 1 rule, so overlapping
-    inputs union correctly)."""
+    inputs union correctly).
+
+    n_salts > 1 enables the SKEW path: a hot key (one owner with millions
+    of pieces) otherwise serializes in a single kernel call.  Two-level
+    dissolve — partial union per (key, random salt), then final union of
+    the partials per key — is exact because geometric union is associative
+    and the winding>=1 rule is idempotent; the salt spreads the heavy
+    per-piece work across n_salts tasks and the final level unions only
+    n_salts pre-merged multipolygons per key."""
     slim = df.select(
         F.col(key_col).cast("long").alias("key"), F.col(geom_col).alias("geom")
     )
+    if n_salts > 1:
+        salted = slim.withColumn(
+            "_salt", F.pmod(F.hash("geom"), F.lit(n_salts))
+        ).withColumn("_sk", F.col("key") * n_salts + F.col("_salt"))
+        partial = dissolve(salted, "_sk", grid_size)
+        return dissolve(
+            partial.select(F.floor(F.col("key") / n_salts).cast("long").alias("key"),
+                           "geom"),
+            "key", grid_size,
+        )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         # sorted numpy slicing instead of pandas groupby: ~1 ms/group

@@ -50,3 +50,30 @@ def test_dissolve_heals_cell_borders(spark):
     for k, r in got.items():
         assert r.n_parts == 1          # border edges healed: one face again
         assert r.area == pytest.approx(0.16, rel=1e-6)
+
+
+@pytest.mark.spark
+def test_dissolve_salted_equals_plain(spark):
+    """Two-level salted dissolve (hot-key skew path) == plain dissolve:
+    union is associative, winding>=1 idempotent — areas, part counts and
+    canonicalized geometry agree on overlapping strips sharing one key."""
+    import numpy as np
+
+    from resolve_overlap_and_gap_spark.geom import wkb as _wkb
+
+    g = 1e-5
+    rows = []
+    # one hot key: 40 overlapping horizontal strips; plus a normal key
+    for i in range(40):
+        r = np.array([[i * 0.5, 0.0], [i * 0.5 + 1.0, 0.0],
+                      [i * 0.5 + 1.0, 1.0], [i * 0.5, 1.0]])
+        rows.append((7, _wkb.dump_polygon([r])))
+    rows.append((8, _wkb.dump_polygon([np.array([[30.0, 30.0], [31.0, 30.0],
+                                                 [31.0, 31.0], [30.0, 31.0]])])))
+    df = spark.createDataFrame(rows, "owner long, geom binary")
+    plain = {r.key: (round(r.area, 9), r.n_parts)
+             for r in dissolve(df, "owner", g).collect()}
+    salted = {r.key: (round(r.area, 9), r.n_parts)
+              for r in dissolve(df, "owner", g, n_salts=8).collect()}
+    assert plain == salted
+    assert plain[7][1] == 1 and plain[7][0] == pytest.approx(20.5 * 1.0, rel=1e-9)
