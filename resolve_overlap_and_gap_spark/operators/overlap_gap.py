@@ -97,9 +97,12 @@ def _clip_to_cell(rings: list[np.ndarray], cxmin, cymin, cxmax, cymax) -> list[n
     return out
 
 
-def _cell_faces(pdf: pd.DataFrame, cfg: EngineConfig, res: int) -> tuple[int, list[Face]] | None:
+def _cell_faces(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
+                quarantine: list[int] | None = None) -> tuple[int, list[Face]] | None:
     """Shared kernel: snap + clip all features of one cell, overlay with the
-    cell box as UNIVERSE. Returns (cell_id, faces)."""
+    cell box as UNIVERSE. Returns (cell_id, faces).  quarantine: list to
+    receive pids whose noding failed to converge (the overlay retries
+    without them — reference _no_cut_line_failed semantics)."""
     g = cfg.snap_tolerance
     cell = int(pdf["cell_id"].iloc[0])
     xmin, ymin, xmax, ymax = grid.cell_bounds_np(np.array([cell], dtype=np.int64))
@@ -118,7 +121,8 @@ def _cell_faces(pdf: pd.DataFrame, cfg: EngineConfig, res: int) -> tuple[int, li
         [[cxmin, cymin], [cxmax, cymin], [cxmax, cymax], [cxmin, cymax]], dtype=np.int64
     )
     polys.append((UNIVERSE, [box]))
-    return cell, overlay(polys)
+    return cell, overlay(polys, noding_max_iter=cfg.noding_max_iter,
+                         quarantine=quarantine)
 
 
 DETECT_SCHEMA = T.StructType([
@@ -167,11 +171,21 @@ def detect_all(features: DataFrame, cfg: EngineConfig, res: int = 6,
 
 
 def _detect_one_cell(pdf: pd.DataFrame, cfg: EngineConfig, res: int, g: float) -> pd.DataFrame:
-    cell, faces = _cell_faces(pdf, cfg, res)
+    quarantined: list[int] = []
+    cell, faces = _cell_faces(pdf, cfg, res, quarantine=quarantined)
     xmin, ymin, xmax, ymax = grid.cell_bounds_np(np.array([cell], dtype=np.int64))
     cxmin = int(np.floor(xmin[0] / g + 0.5)); cymin = int(np.floor(ymin[0] / g + 0.5))
     cxmax = int(np.floor(xmax[0] / g + 0.5)); cymax = int(np.floor(ymax[0] / g + 0.5))
     rows = []
+    # non-convergent features are reported, not silently dropped (kind =
+    # 'quarantined', id_a = feature id, geometry = the clipped input)
+    if quarantined:
+        by_fid: dict[int, list] = {}
+        for fid, geom in zip(pdf["fid"], pdf["geom"]):
+            if int(fid) in quarantined:
+                by_fid[int(fid)] = bytes(geom)
+        for fid in sorted(by_fid):
+            rows.append((cell, "quarantined", fid, None, 0.0, None, by_fid[fid]))
     pairs: dict[tuple[int, int], list[Face]] = {}
     for f in faces:
         if f.cover == frozenset([UNIVERSE]):

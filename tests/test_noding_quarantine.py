@@ -88,3 +88,21 @@ def test_resolve_default_budget_converges(spark, layer):
     assert QUARANTINE_OWNER not in owners and GAP_OWNER not in owners
     assert {1, 2} <= owners  # 3 is wholly inside 2: overlap attribution only
     assert any(3 in (r.other_ids or []) for r in out)
+
+
+@pytest.mark.spark
+def test_detect_quarantine_row(spark, layer):
+    """detect_all reports non-convergent features as kind='quarantined'
+    rows (clipped input carried) and analyses the rest of the cell."""
+    from resolve_overlap_and_gap_spark.operators.overlap_gap import detect_all
+
+    cfg = EngineConfig(snap_tolerance=G, noding_max_iter=1)
+    out = detect_all(layer, cfg, res=4).collect()
+    q = [r for r in out if r.kind == "quarantined"]
+    assert len(q) == 1 and q[0].id_a == 1
+    assert wkb.load_polygons(bytes(q[0].geom))
+    # the rest of the cell still detects: P3 inside P2 is an overlap pair
+    assert any(r.kind == "overlap" and (r.id_a, r.id_b) == (2, 3) for r in out)
+    # default budget: converges, no quarantined rows
+    out2 = detect_all(layer, EngineConfig(snap_tolerance=G), res=4).collect()
+    assert not [r for r in out2 if r.kind == "quarantined"]
