@@ -1453,6 +1453,57 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann_topk(emb, qs, KNN_K, dim=64).select("qid", "pid", "rank")
 
 
+def q_ann_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-ANN paths made oracle-visible via engine-independent
+    invariants (constant-row oracle, like clean_invariants): (a) IVF and
+    LSH outputs are ranked in EXACT descending cosine order (the re-rank
+    contract — recomputed independently here); (b) IVF recall vs the brute
+    oracle clears a 40% floor on this worst-case random-embedding data
+    (recall ~ nprobe/ncentroids there; measured 0.56 at sf0.01).  LSH gets
+    no recall floor: random-hyperplane buckets on isotropic data have
+    near-zero recall BY DESIGN (documented worst case; its pytest covers
+    bucket semantics)."""
+    emb = _read(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id as pid", "transform(embedding, x -> cast(x as double)) as vec"
+    ).localCheckpoint()
+    qset = emb.where(F.col("pid") % COS_QMOD == 0).selectExpr("pid as qid", "vec as qvec")
+    ivf = similarity.ivf_ann_topk(emb, qset, KNN_K, dim=64).select("qid", "pid", "rank")
+    lsh = similarity.lsh_ann_topk(emb, KNN_K, dim=64).select("qid", "pid", "rank")
+    sim = ("aggregate(zip_with(vec, qvec, (a, b) -> a * b), 0.0d, (s, x) -> s + x)"
+           " / (sqrt(aggregate(vec, 0.0d, (s, x) -> s + x * x))"
+           " * sqrt(aggregate(qvec, 0.0d, (s, x) -> s + x * x)))")
+
+    def order_ok(ann: DataFrame, queries_df: DataFrame) -> bool:
+        j = (ann.join(emb, "pid").join(queries_df, "qid")
+             .selectExpr("qid", "rank", f"{sim} as sim"))
+        w = Window.partitionBy("qid").orderBy("rank")
+        bad = (j.withColumn("prev", F.lag("sim").over(w))
+               .where(F.col("prev").isNotNull() & (F.col("sim") > F.col("prev")))
+               .count())
+        return bad == 0
+
+    brute = q_cosine_topk(spark, sf_dir).select("qid", "pid")
+    n_brute = brute.count()
+    n_hit = brute.join(ivf.select("qid", "pid"), ["qid", "pid"]).count()
+    rows = [
+        ("ivf", "rank_is_exact_cosine_order", order_ok(ivf, qset)),
+        ("lsh", "rank_is_exact_cosine_order",
+         order_ok(lsh, emb.selectExpr("pid as qid", "vec as qvec"))),
+        ("ivf", "recall_vs_brute_ge_40pct", bool(n_hit / max(n_brute, 1) >= 0.4)),
+    ]
+    return spark.createDataFrame(rows, "method string, invariant string, ok boolean")
+
+
+def o_ann_invariants() -> str:
+    return """
+        select 'ivf' as method, 'rank_is_exact_cosine_order' as invariant, true as ok
+        union all
+        select 'lsh', 'rank_is_exact_cosine_order', true
+        union all
+        select 'ivf', 'recall_vs_brute_ge_40pct', true
+    """
+
+
 # ------------------------------------------------------------ the registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1507,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_strip": q_resolve_strip,
         "dissolve_strip": q_dissolve_strip,
         "dedup_clusters": q_dedup_clusters,
+        "ann_invariants": q_ann_invariants,
     }
 
 
@@ -1553,4 +1605,5 @@ def oracle_sql() -> dict[str, str]:
         "resolve_strip": o_resolve_strip(),
         "dissolve_strip": o_dissolve_strip(),
         "dedup_clusters": o_dedup_clusters(),
+        "ann_invariants": o_ann_invariants(),
     }
