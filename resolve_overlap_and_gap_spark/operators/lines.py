@@ -100,7 +100,13 @@ def polygonize_lines(lines: DataFrame, grid_size: float, res: int | None = 8,
     mirrors the reference's single-threaded ar5 line phase,
     function_resolve_overlap_gap_run.sql:202-276).
 
-    Both paths order face_id by (area, wkb) for determinism."""
+    Both paths order face_id by (area, wkb) for determinism.  Hole
+    semantics differ on line ISLANDS (a closed ring floating inside
+    another face): the distributed path is hole-correct (overlay faces
+    carry holes; the surrounding face's area excludes the island), while
+    the legacy path emits positive walks only, counting island interiors
+    in both the island face and its surrounding face.  For island-free
+    networks (every tested fixture) the outputs are identical."""
     if res is not None:
         return polygonize_lines_grid(lines, grid_size, res, geom_col, id_col,
                                      n_buckets)

@@ -744,17 +744,36 @@ def q_resolve_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COMPARE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _compare_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compare_before_after, localCheckpoint-memoized per (session, input):
+    clean_metrics and clean_invariants both consume it, and the full
+    detect+resolve+heal+detect pipeline (~23 s at sf0.01) should run once
+    per driver session, not once per query."""
+    from resolve_overlap_and_gap_spark.config import EngineConfig
+    from resolve_overlap_and_gap_spark.operators.compare import compare_before_after
+
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    hit = _COMPARE_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    layer = derived_polygon_layer(spark, sf_dir)
+    cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=1e-4)
+    out = compare_before_after(
+        layer, cfg, res=_density_res(spark, sf_dir)
+    ).localCheckpoint()
+    _COMPARE_CACHE[ck] = out
+    return out
+
+
 def q_clean_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's compare oracle as a query: detection metrics before
     and after resolve+heal (resolve_overlap_gap_compare_result.sql:23-305).
     Rows-only driver check; the after-phase zero-overlap invariant is
     asserted in tests/test_compare.py."""
-    from resolve_overlap_and_gap_spark.config import EngineConfig
-    from resolve_overlap_and_gap_spark.operators.compare import compare_before_after
-
-    layer = derived_polygon_layer(spark, sf_dir)
-    cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=1e-4)
-    return compare_before_after(layer, cfg, res=_density_res(spark, sf_dir)).select(
+    return _compare_metrics(spark, sf_dir).select(
         "phase", "n_overlaps",
         F.expr("cast(floor(overlap_area * 1e9) as bigint)").alias("overlap_area_x1e9"),
         "n_gaps", "n_small_interior_gaps",
@@ -981,12 +1000,7 @@ def q_clean_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolve + border heal, re-detection must find ZERO overlaps and ZERO
     small interior gaps. The oracle is the constant row — any engine
     regression (missed overlap, unmerged sliver) flips the hash."""
-    from resolve_overlap_and_gap_spark.config import EngineConfig
-    from resolve_overlap_and_gap_spark.operators.compare import compare_before_after
-
-    layer = derived_polygon_layer(spark, sf_dir)
-    cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=1e-4)
-    out = compare_before_after(layer, cfg, res=_density_res(spark, sf_dir))
+    out = _compare_metrics(spark, sf_dir)
     return out.where(F.col("phase") == "after").select(
         "phase",
         F.col("n_overlaps").cast("long").alias("n_overlaps"),
