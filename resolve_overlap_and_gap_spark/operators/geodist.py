@@ -158,6 +158,8 @@ def knn_geodesic_ring(points: DataFrame, probes: DataFrame, k: int,
         r0_km = max(1.0, 2.0 * math.sqrt(k * area_per / math.pi))
     remaining = probes
     r = r0_km
+    prev_r = 0.0
+    prev_top: DataFrame | None = None  # (qid, pid, dist_km) of unfinished probes
     parts: list[DataFrame] = []
     to_unpersist: list[DataFrame] = []
     w = Window.partitionBy("qid").orderBy(F.col("dist_km").asc(), F.col("pid").asc())
@@ -165,6 +167,16 @@ def knn_geodesic_ring(points: DataFrame, probes: DataFrame, k: int,
         found = dwithin_geodesic_join(remaining, points, r, keep_exact=True).where(
             F.col("pid") != F.col("qid")
         )
+        # annulus carry: the previous round ranked EVERY point within
+        # prev_r, so anything inside prev_r not in the carried top-k can
+        # never enter the final top-k — re-rank only the new shell plus
+        # the carried candidates
+        if prev_top is not None:
+            found = found.where(F.col("dist_km") > prev_r).select(
+                "qid", "pid", "dist_km"
+            ).unionByName(prev_top)
+        else:
+            found = found.select("qid", "pid", "dist_km")
         top = (
             found.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -179,6 +191,10 @@ def knn_geodesic_ring(points: DataFrame, probes: DataFrame, k: int,
         remaining = remaining.join(F.broadcast(fin), "qid", "left_anti")
         if last_round or remaining.isEmpty():
             break
+        prev_top = top.join(F.broadcast(fin), "qid", "left_anti").select(
+            "qid", "pid", "dist_km"
+        )
+        prev_r = r
         r *= 2.0
     out = parts[0]
     for p in parts[1:]:
