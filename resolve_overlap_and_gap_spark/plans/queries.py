@@ -1467,6 +1467,60 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann_topk(emb, qs, KNN_K, dim=64).select("qid", "pid", "rank")
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model scoring — the quality-filter primitive
+    a training-data pipeline runs at 100 TB (docs whose text is improbable
+    under the corpus LM are candidates for dropping): add-one-smoothed
+    bigram log-probs, counts trained on the corpus itself.  Each bigram's
+    log-prob is quantized to 1e-6 BEFORE the per-doc sum, so the Spark and
+    DuckDB sums are integer-exact.  All JVM-side: split/transform/explode +
+    two groupBy joins; the only driver scalar is |V|."""
+    norm = dedup.normalize_sql("text", SPARK)
+    toks = _read(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id as bigint) as doc_id", f"split({norm}, ' ') as toks"
+    ).where(F.expr("size(toks) >= 2")).localCheckpoint()
+    big = toks.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, size(toks) - 1), "
+        "i -> struct(toks[i-1] as w1, toks[i] as w2))) as b",
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = toks.selectExpr("explode(toks) as w").agg(
+        F.countDistinct("w").alias("v")).collect()[0]["v"]
+    scored = (
+        big.join(c2, ["w1", "w2"]).join(c1, "w1")
+        .withColumn("lq", F.expr(
+            f"cast(floor(ln((c2 + 1.0) / (c1 + {v}.0)) * 1000000.0) as bigint)"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("lq").alias("lm_x1e6"), F.count("*").alias("n_bigrams")
+    )
+
+
+def o_lm_score() -> str:
+    norm = dedup.normalize_sql("text", DUCKDB)
+    return f"""
+        with toks as (select cast(doc_id as bigint) as doc_id,
+                             string_split({norm}, ' ') as t
+                      from documents),
+        big as (select doc_id, t[i] as w1, t[i + 1] as w2
+                from toks, unnest(generate_series(1, length(t) - 1)) as u(i)
+                where length(t) >= 2),
+        c2 as (select w1, w2, count(*) as c2 from big group by 1, 2),
+        c1 as (select w1, count(*) as c1 from big group by 1),
+        v as (select count(distinct w) as v
+              from (select unnest(t) as w from toks)),
+        q as (select b.doc_id,
+                     cast(floor(ln((c2.c2 + 1.0) / (c1.c1 + v.v)) *
+                                1000000.0) as bigint) as lq
+              from big b
+              join c2 using (w1, w2) join c1 using (w1) cross join v)
+        select doc_id, sum(lq) as lm_x1e6, count(*) as n_bigrams
+        from q group by doc_id
+    """
+
+
 def q_ann_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The approximate-ANN paths made oracle-visible via engine-independent
     invariants (constant-row oracle, like clean_invariants): (a) IVF and
@@ -1573,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_strip": q_dissolve_strip,
         "dedup_clusters": q_dedup_clusters,
         "ann_invariants": q_ann_invariants,
+        "lm_score": q_lm_score,
     }
 
 
@@ -1620,4 +1675,5 @@ def oracle_sql() -> dict[str, str]:
         "dissolve_strip": o_dissolve_strip(),
         "dedup_clusters": o_dedup_clusters(),
         "ann_invariants": o_ann_invariants(),
+        "lm_score": o_lm_score(),
     }
