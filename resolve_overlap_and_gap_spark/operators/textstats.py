@@ -105,3 +105,29 @@ def bpe_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         f"cast({id_col} as bigint) as doc_id",
         f"{bpe_token_count_sql(text_col, SPARK)} as n_bpe",
     )
+
+
+def html_to_text_sql(col: str, dialect: str) -> str:
+    """Boilerplate HTML -> visible text (the input_hint's `html binary`
+    ingestion step): drop script/style blocks, strip tags, decode the
+    common entities, squeeze whitespace.  One formula, both dialects —
+    oracle-checkable like every other derive step.  (A production crawl
+    uses a real DOM parser for edge-case markup; this is the dependency-
+    free regex fallback with well-defined semantics.)"""
+    x = regex_replace_all_sql(col, r"<script[^>]*>[^<]*</script>", " ", dialect)
+    x = regex_replace_all_sql(x, r"<style[^>]*>[^<]*</style>", " ", dialect)
+    x = regex_replace_all_sql(x, r"<[^>]*>", " ", dialect)
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&")):
+        x = f"replace({x}, '{ent}', '{ch}')"
+    return norm_ws_sql(x, dialect)
+
+
+def html_to_text(pages: DataFrame, html_col: str = "html",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, text) from an HTML binary/string column."""
+    src = f"decode({html_col}, 'UTF-8')"
+    return pages.selectExpr(
+        f"cast({id_col} as bigint) as doc_id",
+        f"{html_to_text_sql(src, SPARK)} as text",
+    )

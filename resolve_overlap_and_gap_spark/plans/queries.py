@@ -1521,6 +1521,42 @@ def o_lm_score() -> str:
     """
 
 
+def _html_wrap_sql(dialect: str) -> str:
+    """Deterministic HTML wrapper around each document (tags + entities +
+    a script block), built identically in both dialects — the fixture for
+    the html->text extraction oracle."""
+    cast = "string" if dialect == SPARK else "varchar"
+    return ("concat('<html><head><title>T ', source, "
+            "'</title></head><body><h1>doc &amp; no ', "
+            f"cast(doc_id as {cast}), "
+            "'</h1><p>', text, '</p>"
+            "<script type=\"x\">var ignored = 1;</script></body></html>')")
+
+
+def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint's html ingestion step: boilerplate HTML -> visible
+    text (script/style dropped, tags stripped, entities decoded, ws
+    squeezed) — textstats.html_to_text_sql, one formula in both dialects.
+    The wrapper fixture is built in-query so the oracle checks the FULL
+    extraction semantics, not a pass-through."""
+    ex = textstats.html_to_text_sql(_html_wrap_sql(SPARK), SPARK)
+    return _read(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id as bigint) as doc_id",
+        f"md5({ex}) as text_md5",
+        f"cast(length({ex}) as bigint) as n_chars",
+    )
+
+
+def o_html_text() -> str:
+    ex = textstats.html_to_text_sql(_html_wrap_sql(DUCKDB), DUCKDB)
+    return f"""
+        select cast(doc_id as bigint) as doc_id,
+               md5({ex}) as text_md5,
+               cast(length({ex}) as bigint) as n_chars
+        from documents
+    """
+
+
 def q_ann_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The approximate-ANN paths made oracle-visible via engine-independent
     invariants (constant-row oracle, like clean_invariants): (a) IVF and
@@ -1628,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ann_invariants": q_ann_invariants,
         "lm_score": q_lm_score,
+        "html_text": q_html_text,
     }
 
 
@@ -1676,4 +1713,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": o_dedup_clusters(),
         "ann_invariants": o_ann_invariants(),
         "lm_score": o_lm_score(),
+        "html_text": o_html_text(),
     }
