@@ -45,3 +45,19 @@ def test_max_df_drops_hot_shingle(spark, docs):
     # 'common' has df=5 > 2 -> dropped everywhere: (1,2) is now
     # {apple,banana} / 4 = 0.5 and the boilerplate-only pairs vanish
     assert out == {(1, 2): 500000}
+
+
+@pytest.mark.spark
+def test_html_to_text_wrapper(spark):
+    from pyspark.sql import functions as F
+
+    from resolve_overlap_and_gap_spark.operators.textstats import html_to_text
+
+    rows = [(1, "<html><body><h1>Title</h1><p>Hello &amp; goodbye</p>"
+                "<script>var x=1;</script></body></html>"),
+            (2, "plain  text   only")]
+    df = spark.createDataFrame(rows, "doc_id long, raw string").select(
+        "doc_id", F.encode("raw", "UTF-8").alias("html"))
+    out = {r.doc_id: r.text for r in html_to_text(df).collect()}
+    assert out[1] == "Title Hello & goodbye"
+    assert out[2] == "plain text only"
