@@ -1557,6 +1557,25 @@ def o_html_text() -> str:
     """
 
 
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-near-dup-cluster — the pipeline's actual DROP step:
+    the surviving document set after LSH clustering (cluster min id kept,
+    everything else dropped), with per-survivor dropped counts."""
+    cl = q_dedup_clusters(spark, sf_dir)
+    return (
+        cl.groupBy(F.col("cluster_id").alias("keep_id"))
+        .agg(F.count("*").alias("n_members"))
+    )
+
+
+def o_dedup_keep() -> str:
+    inner = o_dedup_clusters()
+    return f"""
+        select cluster_id as keep_id, count(*) as n_members
+        from ({inner}) group by cluster_id
+    """
+
+
 def q_ann_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The approximate-ANN paths made oracle-visible via engine-independent
     invariants (constant-row oracle, like clean_invariants): (a) IVF and
@@ -1665,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_invariants": q_ann_invariants,
         "lm_score": q_lm_score,
         "html_text": q_html_text,
+        "dedup_keep": q_dedup_keep,
     }
 
 
@@ -1714,4 +1734,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_invariants": o_ann_invariants(),
         "lm_score": o_lm_score(),
         "html_text": o_html_text(),
+        "dedup_keep": o_dedup_keep(),
     }
