@@ -54,10 +54,14 @@ def main() -> None:
     elif cmd == "healed":
         from pyspark.sql import functions as F
 
-        from resolve_overlap_and_gap_spark.operators.border import border_gap_merge
-        from resolve_overlap_and_gap_spark.operators.resolve import GAP_OWNER, resolve
-
-        from resolve_overlap_and_gap_spark.operators.resolve import QUARANTINE_OWNER
+        from resolve_overlap_and_gap_spark.operators.border import (
+            border_gap_merge,
+            border_gaps_from_resolve,
+        )
+        from resolve_overlap_and_gap_spark.operators.resolve import (
+            QUARANTINE_OWNER,
+            resolve,
+        )
 
         both = resolve(layer, cfg, res=res, emit_border_gaps=True).localCheckpoint()
         # noding-quarantined features land in their own table, never
@@ -73,7 +77,7 @@ def main() -> None:
             ).write.mode("overwrite").parquet(f"{out_dir}_quarantine")
         out = border_gap_merge(
             layer, both.where(F.col("owner") >= 0), cfg, res=res,
-            border_gaps=both.where(F.col("owner") == GAP_OWNER).select("cell_id", "geom"),
+            border_gaps=border_gaps_from_resolve(both),
             checkpoint=False,
         )
     elif cmd == "query":

@@ -102,10 +102,12 @@ def resolve_overlap_gap_run(
     optional before/after metrics.  With line_df, border lines join the
     arrangement as cut lines and faces report border_line_ids (ar5)."""
     clean = clean if clean is not None else CleanInfo()
-    from resolve_overlap_and_gap_spark.operators.border import border_gap_merge
+    from resolve_overlap_and_gap_spark.operators.border import (
+        border_gap_merge,
+        border_gaps_from_resolve,
+    )
     from resolve_overlap_and_gap_spark.operators.lines import resolve_with_lines
     from resolve_overlap_and_gap_spark.operators.resolve import (
-        GAP_OWNER,
         QUARANTINE_OWNER,
         mark_valid,
         resolve,
@@ -129,7 +131,7 @@ def resolve_overlap_gap_run(
         quarantined = both.where(F.col("owner") == QUARANTINE_OWNER)
         healed = None
         if heal:
-            gaps = both.where(F.col("owner") == GAP_OWNER).select("cell_id", "geom")
+            gaps = border_gaps_from_resolve(both)
             healed = border_gap_merge(feats, pieces, cfg, res=res,
                                       border_gaps=gaps, checkpoint=False)
 

@@ -24,9 +24,24 @@ unmerged there). This pass:
 Correctness of early finalize: gap pieces connect only through shared
 boundary on cell borders, so a merged face strictly interior to its parent
 cell cannot gain further mass — everything still pending lies in other
-parent cells and could only attach through the parent border.  A face that
-reaches min_area while still touching a border is dropped immediately
-(union area only grows; it can never become a sliver).
+parent cells and could only attach through the parent border.
+
+Faces at or above min_area can never become slivers (union only grows), but
+they cannot simply be dropped while they still touch the parent border: a
+cross-border sibling that later unions WITHOUT that mass could fall below
+min_area and be wrongly finalized as a sliver even though the true gap is
+>= min_area.  Such faces convert to KILL INTERVALS — the positive-length
+segments where their boundary lies on the parent border lines (pure
+interval data, so the open-world exterior never ships geometry).  Kill
+intervals escalate alongside live pieces; a live union face whose boundary
+overlaps a kill interval with positive length is itself killed (its true
+gap is connected to >= min_area mass).  This reproduces the global
+union-then-filter semantics exactly: killed mass never enters the live
+union, so its contact edges stay on the live faces' boundary and the kill
+test fires transitively.  Kill intervals interior to the current parent are
+dropped after the level's test (everything that could touch them has been
+tested; union never adds new boundary), so kill mass shrinks geometrically
+just like live mass.
 
 Adjacency is computed per gap in an Arrow-batched kernel over candidate
 neighbors found by a covering-cell equi-join — one shuffle, no driver-side
@@ -56,12 +71,110 @@ ASSIGN_SCHEMA = T.StructType([
 
 MERGE_SCHEMA = T.StructType([
     T.StructField("cell_id", T.LongType()),      # the PARENT cell
-    T.StructField("touches", T.BooleanType()),   # touches parent border
+    # 'sliver' (final), 'live' (escalating geometry), 'kill' (escalating
+    # border intervals of >= min_area gap mass)
+    T.StructField("kind", T.StringType()),
     T.StructField("gap_area", T.DoubleType()),
-    T.StructField("geom", T.BinaryType()),
+    T.StructField("geom", T.BinaryType()),       # WKB, or packed intervals
 ])
 
 _ZMASK = (1 << grid.RES_SHIFT) - 1
+
+
+# ---------------------------------------------------------- kill intervals
+def pack_intervals(iv) -> bytes:
+    """(n,4) int64 (axis, coord, lo, hi) rows -> bytes. axis 0 = vertical
+    line x=coord (interval in y); axis 1 = horizontal line y=coord
+    (interval in x). Coordinates are snap-grid units."""
+    return np.ascontiguousarray(np.asarray(iv, np.int64)).tobytes()
+
+
+def unpack_intervals(b: bytes) -> np.ndarray:
+    return np.frombuffer(bytes(b), dtype=np.int64).reshape(-1, 4)
+
+
+def ring_border_intervals(rings, cx0: int, cy0: int, cx1: int, cy1: int):
+    """Positive-length contacts of closed integer rings with the 4 border
+    lines of the box -> list of (axis, coord, lo, hi)."""
+    out = []
+    for r in rings:
+        a = np.asarray(r, np.int64)
+        if len(a) < 2:
+            continue
+        b = np.roll(a, -1, axis=0)
+        vert = (a[:, 0] == b[:, 0]) & (a[:, 1] != b[:, 1])
+        for coord in (cx0, cx1):
+            m = vert & (a[:, 0] == coord)
+            if m.any():
+                lo = np.minimum(a[m, 1], b[m, 1])
+                hi = np.maximum(a[m, 1], b[m, 1])
+                out.extend((0, int(coord), int(l), int(h)) for l, h in zip(lo, hi))
+        horiz = (a[:, 1] == b[:, 1]) & (a[:, 0] != b[:, 0])
+        for coord in (cy0, cy1):
+            m = horiz & (a[:, 1] == coord)
+            if m.any():
+                lo = np.minimum(a[m, 0], b[m, 0])
+                hi = np.maximum(a[m, 0], b[m, 0])
+                out.extend((1, int(coord), int(l), int(h)) for l, h in zip(lo, hi))
+    return out
+
+
+def merge_intervals(iv: np.ndarray) -> np.ndarray:
+    """Coalesce overlapping/touching intervals per (axis, coord) line —
+    keeps escalated kill rows from accumulating duplicates level over
+    level. Safe for the strict-overlap kill test: merging [a,b],[b,c]
+    cannot create a positive overlap that neither part had."""
+    iv = np.asarray(iv, np.int64).reshape(-1, 4)
+    if len(iv) == 0:
+        return iv
+    order = np.lexsort((iv[:, 2], iv[:, 1], iv[:, 0]))
+    iv = iv[order]
+    out = []
+    cur = None
+    for ax, co, lo, hi in iv:
+        if cur is not None and cur[0] == ax and cur[1] == co and lo <= cur[3]:
+            cur[3] = max(cur[3], hi)
+        else:
+            if cur is not None:
+                out.append(cur)
+            cur = [int(ax), int(co), int(lo), int(hi)]
+    out.append(cur)
+    return np.asarray(out, np.int64)
+
+
+def _kills_index(iv: np.ndarray) -> dict:
+    idx: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for ax, co, lo, hi in np.asarray(iv, np.int64).reshape(-1, 4):
+        idx.setdefault((int(ax), int(co)), []).append((int(lo), int(hi)))
+    return idx
+
+
+def _face_touches_kill(f: Face, idx: dict) -> bool:
+    """True iff any boundary edge of f overlaps a kill interval with
+    POSITIVE length (point contact does not connect: the arrangement and
+    GEOS both keep point-touching parts separate)."""
+    if not idx:
+        return False
+    for ring in [f.shell] + f.holes:
+        a = np.asarray(ring, np.int64)
+        if len(a) < 2:
+            continue
+        b = np.roll(a, -1, axis=0)
+        vert = (a[:, 0] == b[:, 0]) & (a[:, 1] != b[:, 1])
+        for i in np.flatnonzero(vert):
+            ivs = idx.get((0, int(a[i, 0])))
+            if ivs:
+                lo, hi = sorted((int(a[i, 1]), int(b[i, 1])))
+                if any(max(lo, l) < min(hi, h) for l, h in ivs):
+                    return True
+        horiz = (a[:, 1] == b[:, 1]) & (a[:, 0] != b[:, 0])
+        for i in np.flatnonzero(horiz):
+            ivs = idx.get((1, int(a[i, 1])))
+            if ivs:
+                lo, hi = sorted((int(a[i, 0]), int(b[i, 0])))
+                if any(max(lo, l) < min(hi, h) for l, h in ivs):
+                    return True
+    return False
 
 
 def _load_int_polys(b: bytes, g: float) -> list[list[np.ndarray]]:
@@ -108,11 +221,21 @@ def _face_area(f: Face, g: float, cfg: EngineConfig) -> float:
     return f.area2 / 2.0 * g * g
 
 
-def _merge_to_parent_kernel(pdf: pd.DataFrame, cfg: EngineConfig) -> pd.DataFrame:
-    """One level of the iterated dissolve: pdf holds gap pieces keyed by
-    PARENT cell (possibly many parents per hashed bucket). Union per parent,
-    test each out-face against the parent border, drop faces that can no
-    longer become slivers (area >= min_area)."""
+def _merge_to_parent_kernel(pdf: pd.DataFrame, cfg: EngineConfig,
+                            is_root: bool) -> pd.DataFrame:
+    """One level of the iterated dissolve: pdf holds live gap pieces and
+    kill-interval rows keyed by PARENT cell (possibly many parents per
+    hashed bucket). Union live pieces per parent, then per out-face:
+
+      - killed (touches a kill interval, or area >= min_area): its true gap
+        is >= min_area — never a sliver; if it still touches the parent
+        border, its border contact escalates as kill intervals so later
+        siblings die too; otherwise it drops (stays a gap).
+      - live, interior to parent (or at root): FINAL sliver.
+      - live, border-touching: escalates as geometry.
+
+    Input kill intervals still lying on the parent border escalate;
+    interior ones have done their job this level and drop."""
     g = cfg.snap_tolerance
     min_area = cfg.min_area_to_keep
     rows = []
@@ -121,31 +244,56 @@ def _merge_to_parent_kernel(pdf: pd.DataFrame, cfg: EngineConfig) -> pd.DataFram
         cx0 = int(np.floor(xmin[0] / g + 0.5)); cy0 = int(np.floor(ymin[0] / g + 0.5))
         cx1 = int(np.floor(xmax[0] / g + 0.5)); cy1 = int(np.floor(ymax[0] / g + 0.5))
         polys: list[tuple[int, list[np.ndarray]]] = []
-        for b in sub["geom"]:
-            polys.extend((0, rings) for rings in _load_int_polys(b, g))
+        kiv_parts: list[np.ndarray] = []
+        kinds = sub["kind"] if "kind" in sub.columns else ["live"] * len(sub)
+        for kind, b in zip(kinds, sub["geom"]):
+            if kind == "kill":
+                kiv_parts.append(unpack_intervals(b))
+            else:
+                polys.extend((0, rings) for rings in _load_int_polys(b, g))
+        kiv = (np.vstack(kiv_parts) if kiv_parts
+               else np.empty((0, 4), dtype=np.int64))
+        idx = _kills_index(kiv)
+        out_kill: list[tuple[int, int, int, int]] = []
         for f in _union_components(polys):
             if f.area2 <= 0:
                 continue
             area = _face_area(f, g, cfg)
-            if area >= min_area:
-                continue  # union only grows: never a sliver, final or not
             coords = np.vstack([f.shell] + f.holes) if f.holes else f.shell
             touches = bool(
                 (coords[:, 0] == cx0).any() or (coords[:, 0] == cx1).any()
                 or (coords[:, 1] == cy0).any() or (coords[:, 1] == cy1).any()
             )
+            if area >= min_area or _face_touches_kill(f, idx):
+                if touches and not is_root:
+                    out_kill.extend(ring_border_intervals(
+                        [f.shell] + f.holes, cx0, cy0, cx1, cy1))
+                continue
             mp = [[f.shell.astype(np.float64) * g]
                   + [h.astype(np.float64) * g for h in f.holes]]
-            rows.append((int(cell), touches, area, wkb.dump_multipolygon(mp)))
-    return pd.DataFrame(rows, columns=["cell_id", "touches", "gap_area", "geom"])
+            kind = "live" if (touches and not is_root) else "sliver"
+            rows.append((int(cell), kind, area, wkb.dump_multipolygon(mp)))
+        if not is_root:
+            for ax, co, lo, hi in kiv:
+                if ((ax == 0 and co in (cx0, cx1))
+                        or (ax == 1 and co in (cy0, cy1))):
+                    out_kill.append((int(ax), int(co), int(lo), int(hi)))
+            if out_kill:
+                rows.append((int(cell), "kill", 0.0,
+                             pack_intervals(merge_intervals(
+                                 np.asarray(out_kill, np.int64)))))
+    return pd.DataFrame(rows, columns=["cell_id", "kind", "gap_area", "geom"])
 
 
 def reassemble_border_gaps(border_gaps: DataFrame, cfg: EngineConfig,
                            n_buckets: int = 64, level_jump: int = 3) -> DataFrame:
     """Distributed cross-cell sliver reassembly: iterated ancestor-cell
-    dissolve of (cell_id, geom) border gap pieces.  Returns the final
-    sliver layer (gap_area, geom) — every reassembled gap face with
-    0 < area < cfg.min_area_to_keep.
+    dissolve of (cell_id[, kind], geom) border gap rows.  kind 'live' rows
+    (the default when the column is absent) carry WKB gap pieces below
+    min_area; kind 'kill' rows carry packed border intervals of >= min_area
+    gap mass (see pack_intervals).  Returns the final sliver layer
+    (gap_area, geom) — every reassembled gap face with
+    0 < area < cfg.min_area_to_keep not connected to killed mass.
 
     level_jump coarsens several quadtree levels per iteration (ceil(res/k)
     shuffles total instead of res): grouping by a deeper ancestor is still
@@ -160,18 +308,18 @@ def reassemble_border_gaps(border_gaps: DataFrame, cfg: EngineConfig,
         T.StructField("geom", T.BinaryType()),
     ]))
 
-    pending = border_gaps.select("cell_id", "geom").localCheckpoint()
+    if "kind" not in border_gaps.columns:
+        border_gaps = border_gaps.withColumn("kind", F.lit("live"))
+    pending = border_gaps.select("cell_id", "kind", "geom").localCheckpoint()
     b = pending.agg(F.max(res_col).alias("hi"), F.min(res_col).alias("lo")).collect()[0]
     if b["hi"] is None:
         return empty
     lmax, lmin = int(b["hi"]), int(b["lo"])
     sliver_parts: list[DataFrame] = []
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _merge_to_parent_kernel(pdf, cfg)
-
     while True:
         target = max(0, min(lmax - level_jump, lmin))
+        is_root = target == 0
         # re-key each piece to its ancestor at `target` (literal shift per
         # resolution present — a handful of filters over checkpointed rows)
         parts = [pending.where(res_col == target)]
@@ -184,17 +332,24 @@ def reassemble_border_gaps(border_gaps: DataFrame, cfg: EngineConfig,
         cur = parts[0]
         for p in parts[1:]:
             cur = cur.unionByName(p)
+
+        def _make_kernel(root: bool):
+            def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                return _merge_to_parent_kernel(pdf, cfg, root)
+            return kernel
+
+        kernel = _make_kernel(is_root)
         merged = (
             cur.withColumn("bucket", F.pmod(F.hash("cell_id"), F.lit(n_buckets)))
             .groupBy("bucket").applyInPandas(kernel, MERGE_SCHEMA)
         ).localCheckpoint()
-        # at the root (target 0) there is nothing beyond the border: final
-        done = merged.where(~F.col("touches") | F.lit(target == 0))
-        sliver_parts.append(done.select("gap_area", "geom"))
-        if target == 0:
+        sliver_parts.append(merged.where(F.col("kind") == "sliver")
+                            .select("gap_area", "geom"))
+        if is_root:
             break
-        pending = merged.where(F.col("touches"))  # checkpointed via merged
-        if pending.isEmpty():
+        pending = merged.where(F.col("kind") != "sliver")  # checkpointed via merged
+        # kill intervals alone can never produce slivers
+        if pending.where(F.col("kind") == "live").isEmpty():
             break
         lmax = lmin = target
 
@@ -202,6 +357,48 @@ def reassemble_border_gaps(border_gaps: DataFrame, cfg: EngineConfig,
     for p in sliver_parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _kill_intervals_udf(cfg: EngineConfig):
+    """(cell_id, WKB gap geom) -> packed border-contact intervals of the
+    geometry with its cell's border lines (null when there is no
+    positive-length contact)."""
+    g = cfg.snap_tolerance
+
+    @F.pandas_udf(T.BinaryType())
+    def kiv(cell_ids: pd.Series, geoms: pd.Series) -> pd.Series:
+        out = []
+        for cid, b in zip(cell_ids, geoms):
+            xmin, ymin, xmax, ymax = grid.cell_bounds_np(
+                np.array([int(cid)], dtype=np.int64))
+            cx0 = int(np.floor(xmin[0] / g + 0.5)); cy0 = int(np.floor(ymin[0] / g + 0.5))
+            cx1 = int(np.floor(xmax[0] / g + 0.5)); cy1 = int(np.floor(ymax[0] / g + 0.5))
+            iv: list = []
+            for rings in _load_int_polys(b, g):
+                iv.extend(ring_border_intervals(rings, cx0, cy0, cx1, cy1))
+            out.append(pack_intervals(merge_intervals(np.asarray(iv, np.int64)))
+                       if iv else None)
+        return pd.Series(out, dtype=object)
+
+    return kiv
+
+
+def border_gaps_from_resolve(both: DataFrame) -> DataFrame:
+    """resolve(..., emit_border_gaps=True) output -> the (cell_id, kind,
+    geom) frame border_gap_merge expects: GAP_OWNER rows are live sub-min
+    gap pieces, KILL_OWNER rows carry packed border intervals of
+    >= min_area border gaps."""
+    from resolve_overlap_and_gap_spark.operators.resolve import (
+        GAP_OWNER,
+        KILL_OWNER,
+    )
+
+    return both.where(F.col("owner").isin(GAP_OWNER, KILL_OWNER)).select(
+        "cell_id",
+        F.when(F.col("owner") == GAP_OWNER, F.lit("live"))
+        .otherwise(F.lit("kill")).alias("kind"),
+        "geom",
+    )
 
 
 def _geodesic_area_udf(cfg: EngineConfig):
@@ -228,11 +425,15 @@ def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
     features: the ORIGINAL polygon layer (fid, geom) — used to detect gaps
     when border_gaps is not supplied.
     pieces: resolve() output (cell_id, owner, other_ids, area, geom).
-    border_gaps: optional (cell_id, geom) of border-touching sub-min gap
-    faces — pass resolve(..., emit_border_gaps=True)'s GAP_OWNER rows to
-    reuse the resolve overlay instead of running a second full detection.
-    A geom-only frame is accepted (cell assigned from the bbox center —
-    exact, since each per-cell gap piece lies inside one cell).
+    border_gaps: optional (cell_id[, kind], geom) border-gap rows — pass
+    border_gaps_from_resolve(resolve(..., emit_border_gaps=True)) to reuse
+    the resolve overlay instead of running a second full detection.  kind
+    'live' rows (default) are sub-min gap pieces; 'kill' rows carry packed
+    border intervals of >= min_area border gaps (without them, sub-min
+    fragments of a big cross-border gap would be wrongly merged into
+    owners).  A geom-only frame is accepted (all-live; cell assigned from
+    the bbox center — exact, since each per-cell gap piece lies inside one
+    cell).
     checkpoint: set False when the caller already materialized pieces
     (avoids a redundant eager localCheckpoint).
     """
@@ -244,23 +445,31 @@ def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
     if checkpoint:
         pieces = pieces.localCheckpoint()
 
-    # 1. border-touching gap faces. Only pieces below min_area can be part
-    #    of a cross-border sliver (if any piece is >= min_area the
-    #    reassembled gap is too) — exact pre-filter that excludes the large
-    #    open-world gaps from the union below.
+    # 1. border-touching gap faces, split by the min_area threshold:
+    #    sub-min pieces reassemble as live geometry; >= min_area gap mass
+    #    rides along as kill intervals (its border contact only) so any
+    #    live fragment connected to it is recognized as part of a
+    #    >= min_area gap and stays a gap instead of merging into an owner.
     if border_gaps is None:
-        det = detect_all(features, cfg, res=res)
+        det = detect_all(features, cfg, res=res).where(
+            "kind = 'gap' and touches_border")
         if cfg.geodesic_measure and not cfg.utm:
-            # detection areas are planar; the m^2 prefilter needs the
+            # detection areas are planar; the m^2 threshold needs the
             # geodesic measure per piece (Arrow-batched, gap rows only)
-            gaps = det.where("kind = 'gap' and touches_border")
-            border_gaps = gaps.where(
-                _geodesic_area_udf(cfg)(F.col("geom")) < cfg.min_area_to_keep
-            ).select("cell_id", "geom")
+            det = det.withColumn("_dec_area",
+                                 _geodesic_area_udf(cfg)(F.col("geom")))
         else:
-            border_gaps = det.where(
-                f"kind = 'gap' and touches_border and area < {cfg.min_area_to_keep}"
-            ).select("cell_id", "geom")
+            det = det.withColumn("_dec_area", F.col("area"))
+        det = det.localCheckpoint()
+        live = det.where(F.col("_dec_area") < cfg.min_area_to_keep).select(
+            "cell_id", F.lit("live").alias("kind"), "geom")
+        big = det.where(F.col("_dec_area") >= cfg.min_area_to_keep).select(
+            "cell_id",
+            _kill_intervals_udf(cfg)(F.col("cell_id"), F.col("geom")).alias("geom"),
+        )
+        kill = big.where(F.col("geom").isNotNull()).select(
+            "cell_id", F.lit("kill").alias("kind"), "geom")
+        border_gaps = live.unionByName(kill)
     elif "cell_id" not in border_gaps.columns:
         # bbox center is strictly interior to the piece's (unique) cell
         from resolve_overlap_and_gap_spark.operators.overlap_gap import wkb_bounds

@@ -122,15 +122,31 @@ def dissolve(df: DataFrame, key_col: str, grid_size: float,
         F.col(key_col).cast("long").alias("key"), F.col(geom_col).alias("geom")
     )
     if n_salts > 1:
-        salted = slim.withColumn(
-            "_salt", F.pmod(F.hash("geom"), F.lit(n_salts))
-        ).withColumn("_sk", F.col("key") * n_salts + F.col("_salt"))
-        partial = dissolve(salted, "_sk", grid_size)
-        return dissolve(
-            partial.select(F.floor(F.col("key") / n_salts).cast("long").alias("key"),
-                           "geom"),
-            "key", grid_size,
-        )
+        # (key, _salt) stay SEPARATE grouping columns: arithmetic packing
+        # (key * n_salts + salt, floor-divide back) would round-trip
+        # through double in Spark's long division and silently regroup
+        # keys above ~2^53/n_salts — polygonize's _pid64 labels use 63 bits
+        salted = slim.withColumn("_salt", F.pmod(F.hash("geom"), F.lit(n_salts)))
+
+        def partial_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            keys = pdf["key"].to_numpy()
+            salts = pdf["_salt"].to_numpy()
+            order = np.lexsort((salts, keys))
+            keys, salts = keys[order], salts[order]
+            geoms = pdf["geom"].to_numpy(dtype=object)[order]
+            brk = (keys[1:] != keys[:-1]) | (salts[1:] != salts[:-1])
+            starts = np.flatnonzero(np.r_[True, brk])
+            ends = np.r_[starts[1:], len(keys)]
+            rows = [
+                _union_one_group(int(keys[s]), list(geoms[s:e]), grid_size)
+                for s, e in zip(starts, ends)
+            ]
+            return pd.DataFrame(rows, columns=["key", "area", "n_parts", "geom"])
+
+        partial = salted.withColumn(
+            "bucket", F.pmod(F.hash("key", "_salt"), F.lit(256))
+        ).groupBy("bucket").applyInPandas(partial_kernel, DISSOLVE_SCHEMA)
+        return dissolve(partial.select("key", "geom"), "key", grid_size)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         # sorted numpy slicing instead of pandas groupby: ~1 ms/group

@@ -565,8 +565,28 @@ def resolve_with_lines(polygons: DataFrame, lines: DataFrame, cfg, res: int = 8,
                 cut.append((int(fid), c.astype(np.int64)))
         box = np.array([[cx0, cy0], [cx1, cy0], [cx1, cy1], [cx0, cy1]], np.int64)
         polys.append((UNIVERSE, [box]))
-        faces = overlay(polys, cut_lines=cut)
+        # quarantine non-convergent features instead of failing the job —
+        # the reference's line-scenario failure table (_no_cut_line_failed,
+        # function_resolve_overlap_gap_init.sql:221-232) maps to
+        # ResolveResult.quarantined via the QUARANTINE_OWNER rows below
+        quarantined: list[int] = []
+        faces = overlay(polys, cut_lines=cut,
+                        noding_max_iter=cfg.noding_max_iter,
+                        quarantine=quarantined)
         rows = []
+        if quarantined:
+            from resolve_overlap_and_gap_spark.operators.resolve import (
+                QUARANTINE_OWNER,
+            )
+
+            by_fid: dict[int, list] = {}
+            for pid2, rings in polys:
+                if pid2 in quarantined:
+                    by_fid.setdefault(pid2, []).append(
+                        [r.astype(np.float64) * g for r in rings])
+            for fid in sorted(by_fid):
+                rows.append((cell, QUARANTINE_OWNER, [fid], [], 0.0,
+                             wkb.dump_multipolygon(by_fid[fid])))
         for f in faces:
             cover = sorted(p for p in f.cover if p != UNIVERSE)
             if not cover:
@@ -580,6 +600,7 @@ def resolve_with_lines(polygons: DataFrame, lines: DataFrame, cfg, res: int = 8,
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         parts = [one_cell(sub) for _, sub in pdf.groupby("cell_id", sort=True)]
+        parts = [p for p in parts if len(p)]  # pandas-3: no all-NA concat
         if not parts:
             return pd.DataFrame(columns=[f.name for f in RESOLVE_LINES_SCHEMA])
         return pd.concat(parts, ignore_index=True)

@@ -161,6 +161,7 @@ def detect_all(features: DataFrame, cfg: EngineConfig, res: int = 6,
             _detect_one_cell(sub, cfg, res, g)
             for _, sub in pdf.groupby("cell_id", sort=True)
         ]
+        parts = [p for p in parts if len(p)]  # pandas-3: no all-NA concat
         if not parts:
             return pd.DataFrame(
                 columns=["cell_id", "kind", "id_a", "id_b", "area",
@@ -309,6 +310,7 @@ def detect_all_balanced(features: DataFrame, cfg: EngineConfig,
         for cid, sub in pdf.groupby("cell_id", sort=True):
             r = int(grid.cell_res_np(np.array([cid], dtype=np.int64))[0])
             parts.append(_detect_one_cell(sub, cfg, r, g))
+        parts = [p for p in parts if len(p)]  # pandas-3: no all-NA concat
         if not parts:
             return pd.DataFrame(
                 columns=["cell_id", "kind", "id_a", "id_b", "area",

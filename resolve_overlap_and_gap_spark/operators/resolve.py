@@ -33,6 +33,11 @@ from pyspark.sql import types as T
 from resolve_overlap_and_gap_spark.config import EngineConfig
 from resolve_overlap_and_gap_spark.geom import wkb
 from resolve_overlap_and_gap_spark.geom.arrangement import overlay, ring_is_valid
+from resolve_overlap_and_gap_spark.operators.border import (
+    merge_intervals,
+    pack_intervals,
+    ring_border_intervals,
+)
 from resolve_overlap_and_gap_spark.operators.overlap_gap import (
     UNIVERSE,
     _clip_to_cell,
@@ -154,6 +159,13 @@ QUARANTINE_OWNER = -2  # owner sentinel for noding-quarantined features: the
                        # rows land in the output (area=0, geom=the clipped
                        # input) instead of silently vanishing — reference
                        # _no_cut_line_failed semantics
+KILL_OWNER = -3        # owner sentinel for >= min_area border-gap KILL
+                       # INTERVALS (emit_border_gaps): geom holds packed
+                       # (axis, coord, lo, hi) border contacts, not WKB —
+                       # see border.pack_intervals. They tell the
+                       # boundary-exchange pass which border segments are
+                       # connected to big-gap mass, so sub-min fragments of
+                       # a >= min_area cross-border gap stay gaps.
 
 
 def face_measure_areas(faces, g: float, cfg: EngineConfig) -> tuple[list[float], float]:
@@ -258,16 +270,32 @@ def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
     for r, members in sorted(groups.items()):
         root_cover = sorted(p for p in faces[r].cover if p != UNIVERSE)
         if not root_cover:
-            if (emit_border_gaps and r in border_faces
-                    and 0 < sum(measure[i] for i in members) < min_measure):
-                area2 = sum(faces[i].area2 for i in members)
-                mp = [
-                    [faces[i].shell.astype(np.float64) * g]
-                    + [h.astype(np.float64) * g for h in faces[i].holes]
-                    for i in members
-                ]
-                rows.append(_row(cell, GAP_OWNER, [], area2 / 2.0 * g * g,
-                                 wkb.dump_multipolygon(mp)))
+            if emit_border_gaps and r in border_faces:
+                m = sum(measure[i] for i in members)
+                if 0 < m < min_measure:
+                    area2 = sum(faces[i].area2 for i in members)
+                    mp = [
+                        [faces[i].shell.astype(np.float64) * g]
+                        + [h.astype(np.float64) * g for h in faces[i].holes]
+                        for i in members
+                    ]
+                    rows.append(_row(cell, GAP_OWNER, [], area2 / 2.0 * g * g,
+                                     wkb.dump_multipolygon(mp)))
+                elif m >= min_measure:
+                    # >= min_area border gap: emit its border contact as
+                    # kill intervals so the heal pass knows any sub-min
+                    # fragment connected through these segments belongs to
+                    # a big gap (border.py kill propagation)
+                    iv: list = []
+                    for i in members:
+                        iv.extend(ring_border_intervals(
+                            [faces[i].shell] + faces[i].holes,
+                            cxmin, cymin, cxmax, cymax))
+                    if iv:
+                        rows.append(_row(
+                            cell, KILL_OWNER, [], 0.0,
+                            pack_intervals(merge_intervals(
+                                np.asarray(iv, np.int64)))))
             continue  # unclaimed gap above min_area stays a gap
         owner = root_cover[0]
         others = root_cover[1:]
@@ -288,6 +316,9 @@ def _bucket_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
         _cell_kernel(sub, cfg, res, emit_border_gaps)
         for _, sub in pdf.groupby("cell_id", sort=True)
     ]
+    # empty frames out of concat: all-NA columns poison dtypes under
+    # pandas >= 2.1 (FutureWarning, dtype change in 3.x)
+    parts = [p for p in parts if len(p)]
     if not parts:
         cols = ["cell_id", "owner", "other_ids", "area", "geom"]
         if "payload" in pdf.columns:

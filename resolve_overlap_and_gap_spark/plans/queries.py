@@ -677,10 +677,11 @@ def q_resolve_healed(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-sliver merge + owner dissolve). Rows-only driver check; the
     single-cell-oracle equivalence lives in tests/test_border.py."""
     from resolve_overlap_and_gap_spark.config import EngineConfig
-    from resolve_overlap_and_gap_spark.operators.border import border_gap_merge
+    from resolve_overlap_and_gap_spark.operators.border import (
+        border_gap_merge,
+        border_gaps_from_resolve,
+    )
     from resolve_overlap_and_gap_spark.operators.resolve import resolve
-
-    from resolve_overlap_and_gap_spark.operators.resolve import GAP_OWNER
 
     layer = derived_polygon_layer(spark, sf_dir)
     cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=1e-4)
@@ -689,8 +690,8 @@ def q_resolve_healed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second detection pass (equivalence: tests/test_healed_fastpath.py)
     both = resolve(layer, cfg, res=res, emit_border_gaps=True).localCheckpoint()
     pieces = both.where(F.col("owner") >= 0)
-    gaps = both.where(F.col("owner") == GAP_OWNER).select("cell_id", "geom")
-    healed = border_gap_merge(layer, pieces, cfg, res=res, border_gaps=gaps,
+    healed = border_gap_merge(layer, pieces, cfg, res=res,
+                              border_gaps=border_gaps_from_resolve(both),
                               checkpoint=False)
     return healed.select(
         "owner",
@@ -991,6 +992,94 @@ def o_dissolve_strip() -> str:
         select nb.grp, cast(37500 * nb.n - 7500 * coalesce(np.n, 0) as bigint)
                as area_x1e8
         from nb left join np using (grp)
+    """
+
+
+def _healed_cluster_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form fixture for the HEALED pipeline geometry: per customer
+    key, 4 disjoint boxes enclose a thin vertical gap strip —
+
+        left wall   [cx,       cx+0.010] x [cy, cy+0.36]   fid 4k
+        (gap strip  [cx+0.010, cx+0.015] x [cy, cy+0.36])
+        right wall  [cx+0.015, cx+0.023] x [cy, cy+0.36]   fid 4k+1
+        top cap     [cx, cx+0.023] x [cy+0.36, cy+0.46]    fid 4k+2
+        bottom cap  [cx, cx+0.023] x [cy-0.10, cy]         fid 4k+3
+
+    The enclosed gap (area 0.005*0.36 = 1.8e-3 < min_area 2e-3) crosses a
+    res-9 horizontal cell border in EVERY cluster (0.36 > the 0.3515625
+    res-9 cell height), so reassembly always runs >= 2 ancestor levels —
+    the reference's multi-phase border heal
+    (function_resolve_overlap_gap_single_cell.sql:597-787).  Both walls
+    share the full 0.36 edge with the gap (caps only 0.005), so the
+    longest-shared-border rule ties and the engine's documented min-id
+    tie-break assigns the gap to the LEFT wall: healed areas are constants
+    per fid class.  All corners are multiples of 0.001 -> exact on the
+    1e-5 snap grid; every non-gap per-cell face is taller than a res-12
+    cell, hence border-touching and immune to per-cell sliver merge."""
+    from resolve_overlap_and_gap_spark.sources.pages import with_box_wkb
+
+    base = _read(spark, sf_dir, "customer").where("c_custkey % 5 = 0").selectExpr(
+        "cast(c_custkey as bigint) as k",
+        "(c_custkey % 50) * 0.04 as cx",
+        "cast(floor(c_custkey / 50.0) as bigint) * 0.8 as cy",
+    )
+    boxes = base.selectExpr(
+        "explode(array("
+        "struct(k*4   as fid, cx as xmin, cy as ymin,"
+        "       cx + 0.01 as xmax, cy + 0.36 as ymax),"
+        "struct(k*4+1 as fid, cx + 0.015 as xmin, cy as ymin,"
+        "       cx + 0.023 as xmax, cy + 0.36 as ymax),"
+        "struct(k*4+2 as fid, cx as xmin, cy + 0.36 as ymin,"
+        "       cx + 0.023 as xmax, cy + 0.46 as ymax),"
+        "struct(k*4+3 as fid, cx as xmin, cy - 0.1 as ymin,"
+        "       cx + 0.023 as xmax, cy as ymax))) as b"
+    ).select("b.*")
+    return with_box_wkb(boxes.withColumnRenamed("fid", "bid")).select(
+        F.col("bid").alias("fid"), "geom")
+
+
+def q_healed_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL healed pipeline (resolve + cross-cell border-gap
+    reassembly + sliver-to-owner merge + owner dissolve) hash-compared:
+    on the cluster layout every enclosed sub-min gap is absorbed by its
+    left wall, so owner areas and part counts are closed-form constants.
+    This pins the healed GEOMETRY itself, not just its invariants
+    (clean_invariants) — the last pipeline without a hash-exact row."""
+    from resolve_overlap_and_gap_spark.config import EngineConfig
+    from resolve_overlap_and_gap_spark.operators.border import (
+        border_gap_merge,
+        border_gaps_from_resolve,
+    )
+    from resolve_overlap_and_gap_spark.operators.resolve import resolve
+
+    layer = _healed_cluster_layer(spark, sf_dir)
+    cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=2e-3)
+    both = resolve(layer, cfg, res=12, emit_border_gaps=True).localCheckpoint()
+    pieces = both.where(F.col("owner") >= 0)
+    healed = border_gap_merge(layer, pieces, cfg, res=12,
+                              border_gaps=border_gaps_from_resolve(both),
+                              checkpoint=False)
+    return healed.select(
+        "owner",
+        F.expr("cast(round(area * 100000000.0) as bigint)").alias("area_x1e8"),
+        F.col("n_parts").cast("long").alias("n_parts"),
+    )
+
+
+def o_healed_strip() -> str:
+    # left wall absorbs the gap: (0.010 + 0.005)*0.36 = 540000e-8;
+    # right 0.008*0.36 = 288000e-8; caps 0.023*0.1 = 230000e-8; all 1 part
+    return """
+        with b as (select cast(c_custkey as bigint) as k from customer
+                   where c_custkey % 5 = 0),
+        u as (select k * 4     as owner, 540000 as area_x1e8 from b
+              union all select k * 4 + 1, 288000 from b
+              union all select k * 4 + 2, 230000 from b
+              union all select k * 4 + 3, 230000 from b)
+        select cast(owner as bigint) as owner,
+               cast(area_x1e8 as bigint) as area_x1e8,
+               cast(1 as bigint) as n_parts
+        from u
     """
 
 
@@ -1501,12 +1590,13 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o_lm_score() -> str:
     norm = dedup.normalize_sql("text", DUCKDB)
     return f"""
-        with toks as (select cast(doc_id as bigint) as doc_id,
-                             string_split({norm}, ' ') as t
-                      from documents),
+        with toks as (select * from (
+                          select cast(doc_id as bigint) as doc_id,
+                                 string_split({norm}, ' ') as t
+                          from documents)
+                      where length(t) >= 2),
         big as (select doc_id, t[i] as w1, t[i + 1] as w2
-                from toks, unnest(generate_series(1, length(t) - 1)) as u(i)
-                where length(t) >= 2),
+                from toks, unnest(generate_series(1, length(t) - 1)) as u(i)),
         c2 as (select w1, w2, count(*) as c2 from big group by 1, 2),
         c1 as (select w1, count(*) as c1 from big group by 1),
         v as (select count(distinct w) as v
@@ -1680,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize_lattice": q_polygonize_lattice,
         "resolve_strip": q_resolve_strip,
         "dissolve_strip": q_dissolve_strip,
+        "healed_strip": q_healed_strip,
         "dedup_clusters": q_dedup_clusters,
         "ann_invariants": q_ann_invariants,
         "lm_score": q_lm_score,
@@ -1730,6 +1821,7 @@ def oracle_sql() -> dict[str, str]:
         "polygonize_lattice": o_polygonize_lattice(),
         "resolve_strip": o_resolve_strip(),
         "dissolve_strip": o_dissolve_strip(),
+        "healed_strip": o_healed_strip(),
         "dedup_clusters": o_dedup_clusters(),
         "ann_invariants": o_ann_invariants(),
         "lm_score": o_lm_score(),

@@ -22,6 +22,7 @@ streaming/dedup.py's watermark).
 from __future__ import annotations
 
 import hashlib
+import logging
 import re
 from typing import Iterable, Iterator
 
@@ -38,6 +39,9 @@ OUT_SCHEMA = T.StructType([
 
 STATE_SCHEMA = T.StructType([
     T.StructField("doc_ids", T.ArrayType(T.LongType())),
+    # pairs dropped by max_pairs_per_batch so far (saturated buckets are
+    # VISIBLE, not silent: also logged per batch)
+    T.StructField("n_dropped", T.LongType()),
 ])
 
 
@@ -68,10 +72,16 @@ def _bucket(sig: list[int], band: int, rows_per_band: int) -> str:
 def neardup_stream(pages: DataFrame, k: int = 3, n_hashes: int = 8,
                    bands: int = 4, rows_per_band: int = 2,
                    text_col: str = "text", id_col: str = "doc_id",
-                   max_docs_per_bucket: int = 10000) -> DataFrame:
+                   max_docs_per_bucket: int = 10000,
+                   max_pairs_per_batch: int = 1_000_000) -> DataFrame:
     """pages: streaming DF with (doc_id, text). -> stream of candidate
     near-dup pairs (id_a < id_b); dedup downstream (pairs repeat across
-    bands, as in the batch union)."""
+    bands, as in the batch union).
+
+    max_pairs_per_batch bounds the per-(band, bucket) micro-batch emission
+    for degenerate buckets; dropped pairs are counted in the bucket state
+    (n_dropped) and logged — a saturated bucket breaks stream==batch pair
+    equality, so it must never happen silently."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
@@ -98,20 +108,34 @@ def neardup_stream(pages: DataFrame, k: int = 3, n_hashes: int = 8,
 
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
-        seen: list[int] = list(state.get[0]) if state.exists else []
+        if state.exists:
+            seen: list[int] = list(state.get[0])
+            n_dropped = int(state.get[1] or 0)
+        else:
+            seen, n_dropped = [], 0
+        seen_set = set(seen)  # O(1) membership; `seen` keeps arrival order
         out: list[tuple[int, int]] = []
+        dropped = 0
         new_ids: list[int] = []
         for pdf in pdfs:
             new_ids.extend(int(d) for d in pdf["doc_id"])
         for d in sorted(set(new_ids)):
-            if d in seen:
+            if d in seen_set:
                 continue
             for other in seen:
-                if len(out) < 1_000_000:
+                if len(out) < max_pairs_per_batch:
                     out.append((min(d, other), max(d, other)))
+                else:
+                    dropped += 1
             if len(seen) < max_docs_per_bucket:
                 seen.append(d)
-        state.update((seen,))
+                seen_set.add(d)
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "neardup_stream bucket %s saturated: dropped %d candidate "
+                "pairs this batch (max_pairs_per_batch=%d)",
+                key, dropped, max_pairs_per_batch)
+        state.update((seen, n_dropped + dropped))
         yield pd.DataFrame(out, columns=["id_a", "id_b"])
 
     return (

@@ -77,3 +77,21 @@ def test_dissolve_salted_equals_plain(spark):
               for r in dissolve(df, "owner", g, n_salts=8).collect()}
     assert plain == salted
     assert plain[7][1] == 1 and plain[7][0] == pytest.approx(20.5 * 1.0, rel=1e-9)
+
+
+@pytest.mark.spark
+def test_dissolve_salted_63bit_keys(spark):
+    """Keys above 2^53/n_salts must regroup exactly under salting (the
+    packed-key floor-division variant went through double and silently
+    merged neighboring keys; polygonize's _pid64 labels are 63-bit)."""
+    base = (1 << 62) + (1 << 40)
+    rows = []
+    for k in (base, base + 1, base + 2):
+        for i in range(6):
+            rows.append((k, _sq(i * 0.5, 0.0, i * 0.5 + 1.0, 1.0)))
+    df = spark.createDataFrame(rows, "owner long, geom binary")
+    out = {r.key: (round(r.area, 9), r.n_parts)
+           for r in dissolve(df, "owner", G, n_salts=8).collect()}
+    assert set(out) == {base, base + 1, base + 2}
+    for k, (a, n) in out.items():
+        assert n == 1 and a == pytest.approx(3.5, rel=1e-9)

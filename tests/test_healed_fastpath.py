@@ -8,8 +8,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from resolve_overlap_and_gap_spark.config import EngineConfig
-from resolve_overlap_and_gap_spark.operators.border import border_gap_merge
-from resolve_overlap_and_gap_spark.operators.resolve import GAP_OWNER, resolve
+from resolve_overlap_and_gap_spark.operators.border import (
+    border_gap_merge,
+    border_gaps_from_resolve,
+)
+from resolve_overlap_and_gap_spark.operators.resolve import resolve
 
 
 def _canon(df):
@@ -29,8 +32,8 @@ def test_healed_fastpath_equals_classic(spark):
     classic = border_gap_merge(layer, resolve(layer, cfg, res=5), cfg, res=5)
 
     both = resolve(layer, cfg, res=5, emit_border_gaps=True).localCheckpoint()
-    pieces = both.where(F.col("owner") != GAP_OWNER)
-    gaps = both.where(F.col("owner") == GAP_OWNER).select("geom")
-    fast = border_gap_merge(layer, pieces, cfg, res=5, border_gaps=gaps)
+    pieces = both.where(F.col("owner") >= 0)
+    fast = border_gap_merge(layer, pieces, cfg, res=5,
+                            border_gaps=border_gaps_from_resolve(both))
 
     assert _canon(fast) == _canon(classic)

@@ -91,6 +91,31 @@ def test_resolve_default_budget_converges(spark, layer):
 
 
 @pytest.mark.spark
+def test_resolve_with_lines_quarantine_row(spark, layer):
+    """The line-scenario path (ar5) must quarantine too, not raise — the
+    reference's _no_cut_line_failed table is exactly the LINE scenario's
+    failure sink (api.py maps it to ResolveResult.quarantined)."""
+    from resolve_overlap_and_gap_spark.operators.lines import resolve_with_lines
+
+    lines = spark.createDataFrame(
+        [(9, wkb.dump_linestring(
+            np.array([[-10, 150], [150, 150]], np.float64) * G))],
+        "lid long, geom binary",
+    )
+    cfg = EngineConfig(snap_tolerance=G, noding_max_iter=1)
+    out = resolve_with_lines(layer, lines, cfg, res=4).collect()
+    qrows = [r for r in out if r.owner == QUARANTINE_OWNER]
+    assert len(qrows) == 1 and qrows[0].other_ids == [1]
+    assert wkb.load_polygons(bytes(qrows[0].geom))
+    owners = {r.owner for r in out}
+    assert 2 in owners and 1 not in owners
+    # default budget: converges, no quarantine rows
+    out2 = resolve_with_lines(layer, lines, EngineConfig(snap_tolerance=G),
+                              res=4).collect()
+    assert not [r for r in out2 if r.owner == QUARANTINE_OWNER]
+
+
+@pytest.mark.spark
 def test_detect_quarantine_row(spark, layer):
     """detect_all reports non-convergent features as kind='quarantined'
     rows (clipped input carried) and analyses the rest of the cell."""
