@@ -2,16 +2,19 @@
 with typed metadata (training-data pipeline addition).
 
 The Spark-side plumbing — schema, Arrow batch shape, mapInPandas iterator
-contract, partition sizing — is real and tested; the actual codec calls are
-STUBBED behind `_decode_image_stub` (image/audio libs are not in this
-container): the stub parses our deterministic fake header instead of
-invoking a codec, and raises NotImplementedError for real formats, exactly
-where a PIL/ffmpeg call would slot in.
+contract, partition sizing — is real and tested.  PNG (the most common
+crawl image format) decodes for REAL via a stdlib-only decoder below
+(zlib inflate + scanline unfiltering incl. Paeth; 8-bit gray/GA/RGB/RGBA,
+non-interlaced) — no PIL/cv2 needed.  JPEG/video and exotic PNG variants
+(16-bit, palette, interlaced) still raise NotImplementedError at the
+`_decode_image` boundary, exactly where a PIL/ffmpeg call would slot in;
+the deterministic FAKEIMG format remains for plumbing tests.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -24,6 +27,95 @@ from pyspark.sql import types as T
 _MAGIC = b"FAKEIMG!"
 _HDR_FMT = "<8sIIB"
 _HDR_SIZE = struct.calcsize(_HDR_FMT)
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}   # color type -> samples/pixel
+_PNG_COLOR = {1: 0, 2: 4, 3: 2, 4: 6}      # channels -> color type
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG writer (8-bit, filter 0 rows, single IDAT): enough to
+    synthesize real crawl-like payloads in tests and fixtures without an
+    imaging library."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color = _PNG_COLOR[c]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def _decode_png(buf: bytes) -> np.ndarray:
+    """Stdlib PNG decoder: IHDR/IDAT walk, zlib inflate, inverse scanline
+    filters 0-4 (None/Sub/Up/Average/Paeth, PNG spec §6).  Supports 8-bit
+    gray / gray+alpha / RGB / RGBA, non-interlaced; everything else raises
+    NotImplementedError (the documented codec boundary)."""
+    if buf[:8] != PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, idat = 8, []
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(buf):
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + tag + data + crc
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    c = _PNG_CHANNELS.get(color)
+    if w is None or depth != 8 or c is None or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant unsupported by the stdlib decoder "
+            f"(depth={depth}, color={color}, interlace={interlace})")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        ft = int(arr[y, 0])
+        row = arr[y, 1:].astype(np.int32)
+        if ft == 0:
+            pass
+        elif ft == 1:    # Sub: prefix sum per channel lane (mod-256 is
+            # associative, so one cumsum then mask is exact; int64 to
+            # avoid overflow on very wide rows)
+            row = np.cumsum(row.reshape(w, c), axis=0,
+                            dtype=np.int64).reshape(stride) & 0xFF
+        elif ft == 2:    # Up
+            row = (row + prev) & 0xFF
+        elif ft == 3:    # Average (left depends on decoded left -> loop)
+            for x in range(stride):
+                left = row[x - c] if x >= c else 0
+                row[x] = (row[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:    # Paeth predictor
+            for x in range(stride):
+                a = int(row[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ft}")
+        out[y] = row
+        prev = out[y]
+    return out.reshape(h, w, c)
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -43,9 +135,13 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def synthesize_media(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
-    """Deterministic fake media table (payload = fake header + seeded bytes),
-    generated JVM-side except the payload bytes (Arrow-batched)."""
+def synthesize_media(spark: SparkSession, n: int, partitions: int = 8,
+                     fmt: str = "mixed") -> DataFrame:
+    """Deterministic media table with seeded pixels, generated JVM-side
+    except the payload bytes (Arrow-batched).  fmt: 'fake' (raw header +
+    bytes), 'png' (real PNG streams through encode_png), or 'mixed'
+    (odd media_ids PNG, even fake — the default, so every pipeline over
+    this table exercises the real decoder and the plumbing format)."""
     base = spark.range(0, n, 1, partitions).select(
         F.col("id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -57,23 +153,33 @@ def synthesize_media(spark: SparkSession, n: int, partitions: int = 8) -> DataFr
     def payload(mid: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
         out = []
         for m, ww, hh in zip(mid, w, h):
-            hdr = struct.pack(_HDR_FMT, _MAGIC, int(ww), int(hh), 3)
             rng = np.random.default_rng(int(m))
-            out.append(hdr + rng.integers(0, 256, int(ww) * int(hh) * 3, dtype=np.uint8).tobytes())
+            px = rng.integers(0, 256, int(ww) * int(hh) * 3, dtype=np.uint8)
+            if fmt == "png" or (fmt == "mixed" and int(m) % 2 == 1):
+                out.append(encode_png(px.reshape(int(hh), int(ww), 3)))
+            else:
+                hdr = struct.pack(_HDR_FMT, _MAGIC, int(ww), int(hh), 3)
+                out.append(hdr + px.tobytes())
         return pd.Series(out)
 
     return base.withColumn("payload", payload("media_id", "meta_w", "meta_h"))
 
 
-def _decode_image_stub(buf: bytes) -> np.ndarray:
-    """Decode stub: real formats (PNG/JPEG/...) would call the codec here."""
-    if buf[:8] != _MAGIC:
-        raise NotImplementedError(
-            "real image codecs unavailable in this container; plug PIL/cv2 here"
-        )
-    _, w, h, c = struct.unpack_from(_HDR_FMT, buf, 0)
-    arr = np.frombuffer(buf, dtype=np.uint8, offset=_HDR_SIZE, count=w * h * c)
-    return arr.reshape(h, w, c)
+def _decode_image(buf: bytes) -> np.ndarray:
+    """Format sniff + decode: real PNG via the stdlib decoder, FAKEIMG via
+    the header parse; JPEG/video/etc. raise at this boundary (plug
+    PIL/ffmpeg here when the environment has them)."""
+    if buf[:8] == PNG_SIG:
+        return _decode_png(buf)
+    if buf[:8] == _MAGIC:
+        _, w, h, c = struct.unpack_from(_HDR_FMT, buf, 0)
+        arr = np.frombuffer(buf, dtype=np.uint8, offset=_HDR_SIZE, count=w * h * c)
+        return arr.reshape(h, w, c)
+    raise NotImplementedError(
+        "unsupported media format (JPEG/video need PIL/ffmpeg; plug them here)"
+    )
+
+
 
 
 def extract_features(media: DataFrame, grid: int = 4) -> DataFrame:
@@ -85,7 +191,7 @@ def extract_features(media: DataFrame, grid: int = 4) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, buf in zip(pdf["media_id"], pdf["payload"]):
-                img = _decode_image_stub(bytes(buf))
+                img = _decode_image(bytes(buf))
                 h, w, c = img.shape
                 # grid-pooled mean feature (the resize/pool stand-in)
                 ys = np.linspace(0, h, grid + 1).astype(int)
@@ -112,7 +218,7 @@ def frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, buf in zip(pdf["media_id"], pdf["payload"]):
-                img = _decode_image_stub(bytes(buf))
+                img = _decode_image(bytes(buf))
                 for fi in range(0, img.shape[0], every):
                     rows.append((int(mid), fi, float(img[fi].mean())))
             yield pd.DataFrame(rows, columns=["media_id", "frame", "mean_byte"])

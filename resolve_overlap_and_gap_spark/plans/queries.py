@@ -1526,10 +1526,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode + feature extraction: deterministic fake media
-    payloads (binary column) -> mapInPandas Arrow-batched decode ->
-    grid-pooled features. Rows-only driver check (payload bytes come from a
-    numpy RNG no SQL engine reproduces); schema/batch-shape invariants in
+    """Multimodal decode + feature extraction: deterministic media payloads
+    (binary column; odd ids are REAL PNG streams decoded by the stdlib
+    zlib+unfilter codec, even ids the raw plumbing format) -> mapInPandas
+    Arrow-batched decode -> grid-pooled features. Rows-only driver check
+    (payload bytes come from a numpy RNG no SQL engine reproduces);
+    png==fake feature equality and codec round-trips are pinned in
     tests/test_multimodal.py. Media count scales with the documents table."""
     from resolve_overlap_and_gap_spark.operators.multimodal import (
         extract_features,

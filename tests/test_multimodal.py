@@ -1,9 +1,16 @@
 from __future__ import annotations
 
+import struct
+import zlib
+
+import numpy as np
 import pytest
 
 from resolve_overlap_and_gap_spark.operators.multimodal import (
-    _decode_image_stub,
+    PNG_SIG,
+    _decode_image,
+    _decode_png,
+    encode_png,
     extract_features,
     frame_sample,
     synthesize_media,
@@ -12,6 +19,7 @@ from resolve_overlap_and_gap_spark.operators.multimodal import (
 
 @pytest.mark.spark
 def test_feature_extraction_plumbing(spark):
+    # default fmt='mixed': odd ids are REAL PNG streams, even ids FAKEIMG
     media = synthesize_media(spark, 50, partitions=4)
     feats = extract_features(media, grid=4)
     rows = feats.collect()
@@ -24,6 +32,22 @@ def test_feature_extraction_plumbing(spark):
 
 
 @pytest.mark.spark
+def test_png_and_fake_payloads_give_identical_features(spark):
+    """Same seeded pixels through the PNG codec and the raw plumbing format
+    must decode to identical features — decode(encode(x)) == x end to end
+    through the mapInPandas pipeline."""
+    def feats(fmt):
+        media = synthesize_media(spark, 20, partitions=2, fmt=fmt)
+        return sorted(
+            (r.media_id, r.width, r.height, r.channels, r.mean_byte,
+             tuple(r.feature))
+            for r in extract_features(media, grid=4).collect()
+        )
+
+    assert feats("png") == feats("fake")
+
+
+@pytest.mark.spark
 def test_frame_sample_shape(spark):
     media = synthesize_media(spark, 10, partitions=2)
     frames = frame_sample(media, every=8)
@@ -33,9 +57,74 @@ def test_frame_sample_shape(spark):
         assert r["count"] == -(-heights[r.media_id] // 8)  # ceil
 
 
-def test_decode_stub_rejects_real_formats():
+def test_png_roundtrip_all_channel_counts():
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (23, 17, c), dtype=np.uint8)
+        assert np.array_equal(_decode_png(encode_png(img)), img)
+    # 2-D grayscale input becomes (h, w, 1)
+    g = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    assert np.array_equal(_decode_png(encode_png(g)), g[:, :, None])
+
+
+def _filtered_png(img: np.ndarray, ftype: int) -> bytes:
+    """Hand-build a PNG whose every scanline uses the given filter type
+    (the encoder only writes filter 0) — pins the inverse filters."""
+    h, w, c = img.shape
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.int32)
+    rows = []
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        cur = flat[y]
+        if ftype == 0:
+            f = cur
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+            f = cur - left
+        elif ftype == 2:
+            f = cur - prev
+        elif ftype == 3:
+            left = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+            f = cur - ((left + prev) >> 1)
+        elif ftype == 4:
+            left = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+            upleft = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            f = cur - pred
+        rows.append(bytes([ftype]) + (f & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_inverse_filters(ftype):
+    rng = np.random.default_rng(ftype)
+    img = rng.integers(0, 256, (13, 19, 3), dtype=np.uint8)
+    assert np.array_equal(_decode_png(_filtered_png(img, ftype)), img)
+
+
+def test_decode_rejects_unsupported_formats():
     with pytest.raises(NotImplementedError):
-        _decode_image_stub(b"\x89PNG\r\n\x1a\n" + b"0" * 100)
+        _decode_image(b"\xff\xd8\xff\xe0" + b"0" * 100)  # JPEG SOI
+    # 16-bit PNG: valid signature, unsupported depth
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    buf = (PNG_SIG + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+           + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    with pytest.raises(NotImplementedError):
+        _decode_image(buf)
 
 
 @pytest.mark.spark
