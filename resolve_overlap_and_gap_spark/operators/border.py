@@ -488,9 +488,11 @@ def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
     if slivers.isEmpty():
         from resolve_overlap_and_gap_spark.operators.dissolve import dissolve
 
-        return dissolve(pieces.select("owner", "geom"), "owner", g).withColumnRenamed(
-            "key", "owner"
-        )
+        # n_salts='auto': one count agg decides whether any owner is hot
+        # enough to need the two-level salted union (a single giant owner
+        # must never serialize the heal's final dissolve)
+        return dissolve(pieces.select("owner", "geom"), "owner", g,
+                        n_salts="auto").withColumnRenamed("key", "owner")
 
     # 3. slivers join candidate pieces sharing a covering cell with the
     #    sliver bbox (J1); adjacency per sliver via overlay; choose
@@ -559,10 +561,14 @@ def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
 
     # 4. final healed layer: dissolve pieces + absorbed slivers per owner
     #    (union_faces removes internal cell-border edges AND welds the
-    #    absorbed gap slivers into their new owner's geometry)
+    #    absorbed gap slivers into their new owner's geometry).
+    #    assigned is tiny (one row per sliver) — materialize it so the
+    #    auto-salt count agg below doesn't recompute the sliver kernel;
+    #    n_salts='auto' keeps a hot owner from serializing the union.
     from resolve_overlap_and_gap_spark.operators.dissolve import dissolve
 
     combined = pieces.select("owner", "geom").unionByName(
-        assigned.select("owner", "geom")
+        assigned.select("owner", "geom").localCheckpoint()
     )
-    return dissolve(combined, "owner", g).withColumnRenamed("key", "owner")
+    return dissolve(combined, "owner", g, n_salts="auto").withColumnRenamed(
+        "key", "owner")

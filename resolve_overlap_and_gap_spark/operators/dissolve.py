@@ -105,8 +105,12 @@ def _union_one_group(key: int, geoms: list[bytes], grid_size: float) -> tuple:
     return (key, area2 / 2.0 * grid_size * grid_size, n_parts, wkb.dump_multipolygon(mp))
 
 
+AUTO_SALT_TARGET = 2000   # pieces per partial-union task on the hot key
+AUTO_SALT_MAX = 64
+
+
 def dissolve(df: DataFrame, key_col: str, grid_size: float,
-             geom_col: str = "geom", n_salts: int = 1) -> DataFrame:
+             geom_col: str = "geom", n_salts: int | str = 1) -> DataFrame:
     """-> (key, area, n_parts, geom WKB multipolygon): union of all
     geometries per key on the snap grid (winding >= 1 rule, so overlapping
     inputs union correctly).
@@ -117,10 +121,21 @@ def dissolve(df: DataFrame, key_col: str, grid_size: float,
     the partials per key — is exact because geometric union is associative
     and the winding>=1 rule is idempotent; the salt spreads the heavy
     per-piece work across n_salts tasks and the final level unions only
-    n_salts pre-merged multipolygons per key."""
+    n_salts pre-merged multipolygons per key.
+
+    n_salts='auto' sizes the salt count from the data with ONE cheap count
+    aggregation (max pieces on any key): 1 when no key exceeds
+    AUTO_SALT_TARGET (plain single-level path, no extra pass), else
+    ceil(max/TARGET) capped at AUTO_SALT_MAX — so a single giant owner can
+    never serialize the heal's final dissolve."""
     slim = df.select(
         F.col(key_col).cast("long").alias("key"), F.col(geom_col).alias("geom")
     )
+    if n_salts == "auto":
+        maxc = (slim.groupBy("key").count()
+                .agg(F.max("count").alias("m")).collect()[0]["m"]) or 0
+        n_salts = 1 if maxc <= AUTO_SALT_TARGET else min(
+            AUTO_SALT_MAX, -(-int(maxc) // AUTO_SALT_TARGET))
     if n_salts > 1:
         # (key, _salt) stay SEPARATE grouping columns: arithmetic packing
         # (key * n_salts + salt, floor-divide back) would round-trip

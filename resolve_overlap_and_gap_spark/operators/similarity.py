@@ -47,10 +47,31 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
-def with_lsh_bucket(emb: DataFrame, dim: int, n_planes: int = 12, seed: int = 42,
-                    vec_col: str = "vec") -> DataFrame:
+def auto_planes(n_rows: int, target_bucket: int = 64,
+                min_planes: int = 4, max_planes: int = 28) -> int:
+    """Plane count scaled to the corpus (the knn.auto_res analog): the
+    within-bucket join is quadratic per bucket, so the plane count must
+    grow with log2(n) — p = ceil(log2(n / target_bucket)) puts the
+    EXPECTED bucket occupancy n/2^p near target_bucket at any corpus
+    size (a fixed 8 planes would leave ~n/256 vectors per bucket at
+    100 TB).  Clamped: too many planes fragments true neighbors.
+    Deterministic — no data-dependent randomness."""
+    import math
+
+    if n_rows <= target_bucket:
+        return min_planes
+    p = math.ceil(math.log2(n_rows / target_bucket))
+    return max(min_planes, min(max_planes, p))
+
+
+def with_lsh_bucket(emb: DataFrame, dim: int, n_planes: int | None = 12,
+                    seed: int = 42, vec_col: str = "vec") -> DataFrame:
     """Sign-random-projection bucket id per vector — one numpy matmul per
-    Arrow batch (vectorized pandas UDF; the mandated no-per-row-Python path)."""
+    Arrow batch (vectorized pandas UDF; the mandated no-per-row-Python
+    path).  n_planes=None derives the plane count from the corpus size
+    via auto_planes (one count() action)."""
+    if n_planes is None:
+        n_planes = auto_planes(emb.count())
     planes = _hyperplanes(dim, n_planes, seed)
     emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism * 2)
 
@@ -137,10 +158,12 @@ def ivf_ann_topk(emb: DataFrame, queries: DataFrame, k: int, dim: int,
     )
 
 
-def lsh_ann_topk(emb: DataFrame, k: int, dim: int, n_planes: int = 8, seed: int = 42) -> DataFrame:
+def lsh_ann_topk(emb: DataFrame, k: int, dim: int, n_planes: int | None = None,
+                 seed: int = 42) -> DataFrame:
     """ANN all-pairs: candidates share an LSH bucket; exact cosine re-rank in
     the bucket. One equi-join on bucket (shuffle); skewed buckets handled by
-    AQE skew-join."""
+    AQE skew-join.  n_planes defaults to auto_planes(corpus size) so the
+    per-bucket quadratic stays bounded as the corpus grows."""
     b = with_lsh_bucket(emb, dim, n_planes, seed)
     a = b.select(F.col("pid").alias("qid"), F.col("vec").alias("qvec"), "bucket")
     j = b.join(a, "bucket").where(F.col("pid") != F.col("qid"))

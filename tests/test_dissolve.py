@@ -77,6 +77,33 @@ def test_dissolve_salted_equals_plain(spark):
               for r in dissolve(df, "owner", g, n_salts=8).collect()}
     assert plain == salted
     assert plain[7][1] == 1 and plain[7][0] == pytest.approx(20.5 * 1.0, rel=1e-9)
+    # auto path: same data through n_salts='auto' (resolves to 1 here —
+    # no hot key — i.e. the plain single-level plan) is identical too
+    auto = {r.key: (round(r.area, 9), r.n_parts)
+            for r in dissolve(df, "owner", g, n_salts="auto").collect()}
+    assert auto == plain
+
+
+@pytest.mark.spark
+def test_dissolve_auto_salts_hot_key(spark):
+    """A key above AUTO_SALT_TARGET pieces triggers the salted two-level
+    path automatically and still produces the exact plain result."""
+    from resolve_overlap_and_gap_spark.operators import dissolve as D
+
+    old = D.AUTO_SALT_TARGET
+    D.AUTO_SALT_TARGET = 20  # make the 40-piece key 'hot' without 2k rows
+    try:
+        g = 1e-5
+        rows = [(7, _sq(i * 0.5, 0.0, i * 0.5 + 1.0, 1.0)) for i in range(40)]
+        rows.append((8, _sq(30.0, 30.0, 31.0, 31.0)))
+        df = spark.createDataFrame(rows, "owner long, geom binary")
+        plain = {r.key: (round(r.area, 9), r.n_parts)
+                 for r in dissolve(df, "owner", g).collect()}
+        auto = {r.key: (round(r.area, 9), r.n_parts)
+                for r in dissolve(df, "owner", g, n_salts="auto").collect()}
+        assert auto == plain
+    finally:
+        D.AUTO_SALT_TARGET = old
 
 
 @pytest.mark.spark

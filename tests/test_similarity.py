@@ -7,9 +7,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from resolve_overlap_and_gap_spark.operators.similarity import (
+    auto_planes,
     cosine_topk_bruteforce,
     ivf_ann_topk,
     lsh_ann_topk,
+    with_lsh_bucket,
 )
 
 SF = "/root/testdata/sf0.01"
@@ -69,3 +71,41 @@ def test_lsh_ann_runs(spark, emb):
     per_q = out.groupBy("qid").count().agg(F.max("count")).collect()[0][0]
     assert per_q <= 5
     assert out.count() > 0
+
+
+def test_auto_planes_tracks_corpus_size():
+    """Expected bucket occupancy n/2^p stays within [target/2, 2*target]
+    across 10x corpus jumps (inside the clamp range), so the per-bucket
+    quadratic join stays bounded as the corpus grows."""
+    target = 64
+    for n in (1_000, 10_000, 100_000, 1_000_000, 10_000_000, 10**9, 10**12):
+        p = auto_planes(n, target_bucket=target)
+        if p in (4, 28):          # clamped ends
+            continue
+        expected = n / (1 << p)
+        assert target / 2 <= expected <= target, (n, p, expected)
+    # monotone in n, deterministic
+    ps = [auto_planes(n) for n in (10**3, 10**4, 10**5, 10**6, 10**9)]
+    assert ps == sorted(ps)
+    assert auto_planes(10) == 4 and auto_planes(10**12, max_planes=28) == 28
+
+
+@pytest.mark.spark
+def test_lsh_auto_bucket_occupancy(spark, emb):
+    """With n_planes=None the realized MEAN bucket occupancy lands near
+    the target on real (near-uniform) embeddings, across a 10x size
+    range; fixed-seed determinism keeps the bucketing reproducible."""
+    for frac_mod in (1, 10):  # full corpus and a 10x smaller slice
+        sub = emb.where(F.col("pid") % frac_mod == 0)
+        n = sub.count()
+        b = with_lsh_bucket(sub, dim=64, n_planes=None)
+        occ = b.groupBy("bucket").count().agg(F.avg("count")).collect()[0][0]
+        p = auto_planes(n)
+        # mean occupancy can't exceed target by more than the sign-skew
+        # of real data; bound it by 4x target (quadratic stays bounded)
+        assert occ <= 4 * 64, (n, p, occ)
+    b1 = sorted((r.pid, r.bucket) for r in
+                with_lsh_bucket(emb, dim=64, n_planes=None).collect())
+    b2 = sorted((r.pid, r.bucket) for r in
+                with_lsh_bucket(emb, dim=64, n_planes=None).collect())
+    assert b1 == b2
