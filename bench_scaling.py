@@ -40,11 +40,18 @@ spark = get_spark(app_name="rog-scaling", parallelism={cpus}, **kw)
 spark.sparkContext.setLogLevel("ERROR")
 from pyspark.sql import functions as F
 from resolve_overlap_and_gap_spark.plans import queries as Q
-from resolve_overlap_and_gap_spark.operators.overlap_gap import detect_all
-from resolve_overlap_and_gap_spark.operators.resolve import resolve
+from resolve_overlap_and_gap_spark.operators.overlap_gap import (
+    detect_all, detect_all_balanced)
+from resolve_overlap_and_gap_spark.operators.resolve import (
+    resolve, resolve_balanced)
 from resolve_overlap_and_gap_spark.operators.celljoin import point_in_box_join
-from resolve_overlap_and_gap_spark.config import EngineConfig
+from resolve_overlap_and_gap_spark.config import EngineConfig, GridConfig
 from resolve_overlap_and_gap_spark import derive
+
+# SCALING_GRID=balanced swaps in the content-balanced (adaptive) grid —
+# the suite's benched default — so the >=0.8 criterion is evidenced on
+# the shipped path, not only the fixed-res variant.
+GRID = os.environ.get("SCALING_GRID", "fixed")
 
 N = {n}
 res = Q.res_for_n(N)
@@ -61,9 +68,18 @@ detect_all(wl, EngineConfig(snap_tolerance=1e-5), res=5).count()
 
 t0 = time.monotonic()
 rows = 0
-rows += detect_all(layer, EngineConfig(snap_tolerance=1e-5), res=res, n_buckets=1024).count()
-rows += resolve(layer, EngineConfig(snap_tolerance=1e-5, min_area_to_keep=1e-4),
-                res=res, n_buckets=1024).count()
+if GRID == "balanced":
+    gc = GridConfig(base_resolution=res, max_resolution=res + 4,
+                    max_rows_in_each_cell=160)
+    rows += detect_all_balanced(
+        layer, EngineConfig(snap_tolerance=1e-5, grid=gc), n_buckets=1024).count()
+    rows += resolve_balanced(
+        layer, EngineConfig(snap_tolerance=1e-5, min_area_to_keep=1e-4, grid=gc),
+        n_buckets=1024).count()
+else:
+    rows += detect_all(layer, EngineConfig(snap_tolerance=1e-5), res=res, n_buckets=1024).count()
+    rows += resolve(layer, EngineConfig(snap_tolerance=1e-5, min_area_to_keep=1e-4),
+                    res=res, n_buckets=1024).count()
 r = Q._tile_range_exprs(7)
 tiles = boxes.selectExpr(
     "bid",
@@ -75,7 +91,7 @@ rows += point_in_box_join(pts.select("point_id", "px", "py"), boxes, 7,
                           broadcast_boxes=True).count()
 dt = time.monotonic() - t0
 print(json.dumps({{"cpus": {cpus}, "sec": round(dt, 3), "out_rows": rows,
-                   "n_polygons": N, "res": res}}))
+                   "n_polygons": N, "res": res, "grid": GRID}}))
 spark.stop()
 """
 
@@ -123,8 +139,9 @@ def main() -> None:
     thr_lo = lo["out_rows"] / lo["sec"]
     thr_hi = hi["out_rows"] / hi["sec"]
     eff = (lo["sec"] / hi["sec"]) / 4.0
+    grid = os.environ.get("SCALING_GRID", "fixed")
     print(json.dumps({
-        "job": "detect+resolve+tile_owner+pip over synthetic constant-density layer",
+        "job": f"detect+resolve ({grid} grid) +tile_owner+pip over synthetic constant-density layer",
         "runs": [lo, hi],
         "throughput_rows_per_sec": {str(n_low): round(thr_lo, 1), str(n_hi): round(thr_hi, 1)},
         "scaling_efficiency_N_to_4N": round(eff, 3),

@@ -135,12 +135,16 @@ def content_balanced_cells(
     cells) switch the isin filter back to a broadcast-join variant.
     """
     # iterative refinement; each iteration is one distributed aggregation.
-    # The per-iteration localCheckpoint truncates lineage — without it the
-    # recursive plan recomputes the whole chain at every action.
+    # The root histogram is computed WITHOUT materializing the points: on
+    # uniform data (no hot cells) the whole call is then a single groupBy —
+    # the balanced path costs the same as fixed-res when refinement never
+    # triggers.  Only the HOT subset is checkpointed between iterations
+    # (lineage truncation for the recursive filter chain, but on the small
+    # slice that actually refines, not the full layer).
     pts = points.select(
         F.col(lon).alias("px"), F.col(lat).alias("py"),
         grid.cell_id_col(F.col(lon), F.col(lat), base_res).alias("cell_id"),
-    ).localCheckpoint(eager=True)
+    )
     cur = pts.groupBy("cell_id").count().withColumn("res", F.lit(base_res))
     rows = cur.collect()  # frontier stats are small (one row per cell)
     results = []

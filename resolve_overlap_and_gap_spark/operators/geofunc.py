@@ -77,6 +77,61 @@ def st_point_on_surface(geom: Column, grid_size: float = 1e-5) -> Column:
     return _pos(geom)
 
 
+def st_translate(geom: Column, dx: float, dy: float) -> Column:
+    """ST_Translate: shift every coordinate of a WKB geometry by (dx, dy)
+    — the reference's topo_update.extend_line building block
+    (…utils/function_03_extend_line.sql:9-14)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _tr(geoms: pd.Series) -> pd.Series:
+        out = []
+        for b in geoms:
+            kind, coords = wkb.load(bytes(b))
+            if kind == "linestring":
+                c = np.asarray(coords, np.float64) + [dx, dy]
+                out.append(wkb.dump_linestring(c))
+            else:
+                polys = [
+                    [np.asarray(r, np.float64) + [dx, dy] for r in rings]
+                    for rings in wkb.load_polygons(bytes(b))
+                ]
+                out.append(wkb.dump_multipolygon(polys))
+        return pd.Series(out)
+
+    return _tr(geom)
+
+
+def extend_line(geom: Column, extend_len: float) -> Column:
+    """topo_update.extend_line (…utils/function_03_extend_line.sql:1-20):
+    straight line between the input's endpoints, extended extend_len past
+    EACH end.  Mirrors the reference formula exactly — each endpoint is
+    translated along the azimuth toward the other end by
+    dist(a,b) + extend_len, so the output runs (past-b, past-a), i.e.
+    reversed orientation, like ST_MakeLine(ST_Translate(a,...),
+    ST_Translate(b,...)) there."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _ext(geoms: pd.Series) -> pd.Series:
+        out = []
+        for b in geoms:
+            kind, coords = wkb.load(bytes(b))
+            if kind != "linestring" or len(coords) < 2:
+                out.append(bytes(b))
+                continue
+            a = np.asarray(coords[0], np.float64)
+            z = np.asarray(coords[-1], np.float64)
+            d = float(np.hypot(*(z - a)))
+            if d == 0.0:
+                out.append(bytes(b))
+                continue
+            u = (z - a) / d
+            ln = d + extend_len
+            out.append(wkb.dump_linestring(np.vstack([a + u * ln, z - u * ln])))
+        return pd.Series(out)
+
+    return _ext(geom)
+
+
 def with_buffer(df: DataFrame, dist: float, grid_size: float = 1e-5,
                 quad_segs: int = 8, geom_col: str = "geom",
                 out_col: str = "geom_buf") -> DataFrame:

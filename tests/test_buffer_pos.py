@@ -124,3 +124,38 @@ def test_spark_wrappers(spark):
 
     pos = with_point_on_surface(df, grid_size=g).collect()[0]
     assert 0 < pos.x < 1000 * g and 0 < pos.y < 1000 * g
+
+
+@pytest.mark.spark
+def test_translate_and_extend_line(spark):
+    """ST_Translate + extend_line mirror the reference formula
+    (…utils/function_03_extend_line.sql): the documented example
+    extend_line(line((1,2),(3,4)), 2) yields (3+sqrt2, 4+sqrt2) ->
+    (1-sqrt2, 2-sqrt2); translate shifts polygons rigidly."""
+    from pyspark.sql import functions as F
+
+    from resolve_overlap_and_gap_spark.geom import wkb
+    from resolve_overlap_and_gap_spark.operators.geofunc import (
+        extend_line,
+        st_translate,
+    )
+
+    line = wkb.dump_linestring(np.array([[1.0, 2.0], [3.0, 4.0]]))
+    df = spark.createDataFrame([(1, line)], "fid long, geom binary")
+    out = df.withColumn("ext", extend_line(F.col("geom"), 2.0)).collect()[0]
+    _, c = wkb.load(bytes(out.ext))
+    s2 = math.sqrt(2.0)
+    assert c[0] == pytest.approx([3 + s2, 4 + s2], abs=1e-12)
+    assert c[1] == pytest.approx([1 - s2, 2 - s2], abs=1e-12)
+
+    sq = wkb.dump_polygon([np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])])
+    dfp = spark.createDataFrame([(1, sq)], "fid long, geom binary")
+    tr = dfp.withColumn("t", st_translate(F.col("geom"), 5.0, -2.0)).collect()[0]
+    rings = wkb.load_polygons(bytes(tr.t))
+    assert rings[0][0][:, 0].min() == pytest.approx(5.0)
+    assert rings[0][0][:, 1].min() == pytest.approx(-2.0)
+    # degenerate inputs pass through unchanged
+    pt_line = wkb.dump_linestring(np.array([[1.0, 1.0], [1.0, 1.0]]))
+    dfd = spark.createDataFrame([(1, pt_line)], "fid long, geom binary")
+    out2 = dfd.withColumn("ext", extend_line(F.col("geom"), 2.0)).collect()[0]
+    assert bytes(out2.ext) == pt_line
