@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "simhash_neardup",
     "top_terms",
     "bpe_tokens",
+    "url_canon",
     # ANN scale paths + multimodal plumbing (rows-only in CORRECTNESS, but
     # they are the 100TB-path operators — bench them)
     "ann_lsh",

@@ -131,3 +131,47 @@ def html_to_text(pages: DataFrame, html_col: str = "html",
         f"cast({id_col} as bigint) as doc_id",
         f"{html_to_text_sql(src, SPARK)} as text",
     )
+
+
+def canonical_url_sql(col: str, dialect: str) -> str:
+    """Crawl URL canonicalization (the dedup key for url-level dedup of a
+    Common-Crawl-style table — the input_hint's `url` column): lowercase
+    scheme+host, strip `www.`, strip default ports (:80 http / :443
+    https), drop the fragment, drop `utm_*` tracking params (promoting the
+    next param to `?`), collapse `/?` -> `?`, strip a trailing slash
+    except on the root path.  One formula, both dialects; built without
+    regex backreferences (Spark `$1` vs DuckDB `\\1` would otherwise
+    diverge)."""
+    sh = f"regexp_extract({col}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)"
+    sh = f"replace(lower({sh}), '://www.', '://')"
+    sh = (f"(case when {sh} like 'http://%' then "
+          f"{regex_replace_all_sql(sh, ':80$', '', dialect)} "
+          f"when {sh} like 'https://%' then "
+          f"{regex_replace_all_sql(sh, ':443$', '', dialect)} "
+          f"else {sh} end)")
+    rest = (f"substr({col}, length(regexp_extract("
+            f"{col}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) + 1)")
+    rest = regex_replace_all_sql(rest, r"#.*$", "", dialect)      # fragment
+    rest = regex_replace_all_sql(rest, r"&utm_[^&]*", "", dialect)
+    rest = regex_replace_all_sql(rest, r"\?utm_[^&]*&", "?", dialect)
+    rest = regex_replace_all_sql(rest, r"\?utm_[^&]*$", "", dialect)
+    rest = regex_replace_all_sql(rest, r"/\?", "?", dialect)
+    rest = f"(case when {rest} = '/' then '/' else {regex_replace_all_sql(rest, '/$', '', dialect)} end)"
+    return f"concat({sh}, {rest})"
+
+
+def url_host_sql(canon_col: str, dialect: str) -> str:
+    """Host of a canonicalized URL (the blocking key for host-level
+    aggregation / per-site quotas in a crawl pipeline)."""
+    return f"regexp_extract({canon_col}, '://([^/:?#]+)', 1)"
+
+
+def canonical_urls(pages: DataFrame, url_col: str = "url",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, url_canon, host) — JVM-side canonicalization, codegen'd."""
+    canon = canonical_url_sql(url_col, SPARK)
+    return pages.selectExpr(
+        f"cast({id_col} as bigint) as doc_id",
+        f"{canon} as url_canon",
+    ).selectExpr("doc_id", "url_canon",
+                 f"{url_host_sql('url_canon', SPARK)} as host")

@@ -1613,6 +1613,72 @@ def o_lm_score() -> str:
     """
 
 
+def _messy_url_sql(dialect: str) -> str:
+    """Deterministic messy crawl URL per document (case noise, www, default
+    port, trailing slash, utm params, fragment — keyed off doc_id mods),
+    built identically in both dialects — the fixture for the URL
+    canonicalization oracle."""
+    s = "string" if dialect == SPARK else "varchar"
+    d = f"cast(doc_id as {s})"
+    return (
+        "concat('HTTP://', case when doc_id % 3 = 0 then 'WWW.' else '' end, "
+        "upper(source), '.Example.COM', "
+        "case when doc_id % 2 = 0 then ':80' else '' end, "
+        f"'/Docs/', {d}, "
+        "case when doc_id % 4 = 0 then '/' else '' end, "
+        f"case when doc_id % 5 = 0 then concat('?utm_source=feed&id=', {d}) "
+        f"when doc_id % 5 = 1 then concat('?id=', {d}, '&utm_medium=x') "
+        f"when doc_id % 5 = 2 then concat('?utm_a=1&utm_b=2&page=', {d}) "
+        "else '' end, "
+        "case when doc_id % 7 = 0 then '#sec2' else '' end)"
+    )
+
+
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the url-level dedup key of a Common-Crawl
+    pipeline (input_hint `url` column): lowercase scheme/host, strip www
+    and default ports, drop fragments and utm_* params, normalize
+    trailing slashes; host extracted as the blocking key.  All JVM
+    regexp/string built-ins (codegen)."""
+    from resolve_overlap_and_gap_spark.operators.textstats import canonical_urls
+
+    pages = _read(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_messy_url_sql(SPARK)} as url")
+    return canonical_urls(pages)
+
+
+def o_url_canon() -> str:
+    canon = textstats.canonical_url_sql("url", DUCKDB)
+    host = textstats.url_host_sql("url_canon", DUCKDB)
+    return f"""
+        with p as (select doc_id, {_messy_url_sql(DUCKDB)} as url from documents),
+        c as (select cast(doc_id as bigint) as doc_id, {canon} as url_canon from p)
+        select doc_id, url_canon, {host} as host from c
+    """
+
+
+def q_url_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level rollup over canonical URLs (per-site quotas / host
+    blocking): docs and distinct canonical urls per host."""
+    return q_url_canon(spark, sf_dir).groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("url_canon").alias("n_urls"),
+    )
+
+
+def o_url_hosts() -> str:
+    canon = textstats.canonical_url_sql("url", DUCKDB)
+    host = textstats.url_host_sql("url_canon", DUCKDB)
+    return f"""
+        with p as (select doc_id, {_messy_url_sql(DUCKDB)} as url from documents),
+        c as (select cast(doc_id as bigint) as doc_id, {canon} as url_canon from p),
+        h as (select {host} as host, url_canon from c)
+        select host, count(*) as n_docs,
+               count(distinct url_canon) as n_urls
+        from h group by host
+    """
+
+
 def _html_wrap_sql(dialect: str) -> str:
     """Deterministic HTML wrapper around each document (tags + entities +
     a script block), built identically in both dialects — the fixture for
@@ -1778,6 +1844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "html_text": q_html_text,
         "dedup_keep": q_dedup_keep,
+        "url_canon": q_url_canon,
+        "url_hosts": q_url_hosts,
     }
 
 
@@ -1829,4 +1897,6 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": o_lm_score(),
         "html_text": o_html_text(),
         "dedup_keep": o_dedup_keep(),
+        "url_canon": o_url_canon(),
+        "url_hosts": o_url_hosts(),
     }
