@@ -1679,6 +1679,61 @@ def o_url_hosts() -> str:
     """
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rule family a
+    training-data pipeline screens with): per document, the fraction of
+    mass in the single most frequent word and the fraction of duplicate
+    word 8-grams.  Ratios are floor-quantized to 1e-6 so both engines
+    produce identical bigints.  All JVM (split/explode/groupBy; two
+    shuffles keyed by doc_id — map-side combine applies)."""
+    norm = dedup.normalize_sql("text", SPARK)
+    toks = _read(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id as bigint) as doc_id", f"split({norm}, ' ') as t"
+    ).localCheckpoint()
+    wc = toks.selectExpr("doc_id", "explode(t) as w").groupBy("doc_id", "w").count()
+    top = wc.groupBy("doc_id").agg(
+        F.max("count").alias("mx"), F.sum("count").alias("n_words"))
+    g8 = "concat_ws(' ', " + ", ".join(f"t[i+{j}]" for j in range(8)) + ")"
+    grams = toks.where("size(t) >= 8").selectExpr(
+        "doc_id",
+        f"explode(transform(sequence(0, size(t) - 8), i -> {g8})) as g",
+    )
+    gs = grams.groupBy("doc_id").agg(
+        F.countDistinct("g").alias("d"), F.count("*").alias("n"))
+    return top.join(gs, "doc_id", "left").selectExpr(
+        "doc_id",
+        "cast(n_words as bigint) as n_words",
+        "cast(floor(mx * 1000000.0 / n_words) as bigint) as top_word_frac_x1e6",
+        "cast(coalesce(floor((n - d) * 1000000.0 / n), 0) as bigint) as dup_8gram_frac_x1e6",
+    )
+
+
+def o_repetition() -> str:
+    norm = dedup.normalize_sql("text", DUCKDB)
+    g8 = "concat_ws(' ', " + ", ".join(f"t[i+{j}]" for j in range(8)) + ")"
+    return f"""
+        with toks as (select cast(doc_id as bigint) as doc_id,
+                             string_split({norm}, ' ') as t
+                      from documents),
+        words as (select doc_id, unnest(t) as w from toks),
+        wc as (select doc_id, w, count(*) as c from words group by 1, 2),
+        top as (select doc_id, max(c) as mx, sum(c) as n_words
+                from wc group by 1),
+        grams as (select doc_id, {g8} as g
+                  from toks, unnest(generate_series(1, length(t) - 7)) as u(i)
+                  where length(t) >= 8),
+        gs as (select doc_id, count(distinct g) as d, count(*) as n
+               from grams group by 1)
+        select t.doc_id,
+               cast(t.n_words as bigint) as n_words,
+               cast(floor(t.mx * 1000000.0 / t.n_words) as bigint)
+                   as top_word_frac_x1e6,
+               cast(coalesce(floor((gs.n - gs.d) * 1000000.0 / gs.n), 0)
+                    as bigint) as dup_8gram_frac_x1e6
+        from top t left join gs on t.doc_id = gs.doc_id
+    """
+
+
 def _html_wrap_sql(dialect: str) -> str:
     """Deterministic HTML wrapper around each document (tags + entities +
     a script block), built identically in both dialects — the fixture for
@@ -1846,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": q_dedup_keep,
         "url_canon": q_url_canon,
         "url_hosts": q_url_hosts,
+        "repetition": q_repetition,
     }
 
 
@@ -1899,4 +1955,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep": o_dedup_keep(),
         "url_canon": o_url_canon(),
         "url_hosts": o_url_hosts(),
+        "repetition": o_repetition(),
     }
