@@ -27,6 +27,43 @@ def geo_parse_stream(pages: DataFrame, key_col: str = "doc_id", res: int = 6) ->
     )
 
 
+def prepare_pages_stream(pages: DataFrame, res: int = 6) -> DataFrame:
+    """The full document-prep stage of a crawl pipeline as ONE stateless
+    streaming projection over the input_hint shape (url, warc_ts,
+    html:binary, text, lang): html -> visible text, canonical URL + host
+    (the dedup/blocking keys), n-gram language id, token count, and the
+    geo cell assignment — every step a JVM expression shared with the
+    batch operators (textstats/derive), so a live feed and a backfill
+    produce byte-identical rows (tests assert stream == batch).  At
+    100 TB this is the map-only stage: no state, no shuffle; it chains
+    directly into the stateful operators (dedup_stream, neardup_stream,
+    cell_counts_stream)."""
+    from resolve_overlap_and_gap_spark.operators.textstats import (
+        canonical_url_sql,
+        html_to_text_sql,
+        lang_id_sql,
+        token_count_sql,
+        url_host_sql,
+    )
+
+    S = derive.SPARK
+    html_src = "decode(html, 'UTF-8')"
+    out = pages.selectExpr(
+        "url",
+        "warc_ts",
+        "doc_id",
+        f"{canonical_url_sql('url', S)} as url_canon",
+        f"{html_to_text_sql(html_src, S)} as text",
+        "lang",
+    ).selectExpr(
+        "*",
+        f"{url_host_sql('url_canon', S)} as host",
+        f"{lang_id_sql('text')} as lang_pred",
+        f"{token_count_sql('text', S)} as n_tokens",
+    )
+    return geo_parse_stream(out, "doc_id", res)
+
+
 def cell_counts_stream(pages: DataFrame, key_col: str = "doc_id", res: int = 6,
                        watermark: str = "10 minutes",
                        window: str = "1 hour") -> DataFrame:

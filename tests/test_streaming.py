@@ -36,3 +36,35 @@ def test_stream_matches_batch(spark, tmp_path):
         .groupBy("cell_id").agg(F.count("*").alias("n_pages")).collect()
     }
     assert got == want and len(got) > 100
+
+
+@pytest.mark.spark
+def test_prepare_pages_stream_matches_batch(spark, tmp_path):
+    """The full document-prep projection (html->text, canonical url/host,
+    lang id, token count, cell assign) is stateless, so running it as a
+    stream must produce byte-identical rows to the batch run."""
+    from resolve_overlap_and_gap_spark.sources.pages import synthesize_pages
+    from resolve_overlap_and_gap_spark.streaming.ingest import (
+        prepare_pages_stream,
+    )
+
+    src = str(tmp_path / "prep_src")
+    synthesize_pages(spark, 300, partitions=4).write.parquet(src)
+    batch_in = spark.read.parquet(src)
+
+    cols = ["doc_id", "url", "url_canon", "host", "text", "lang",
+            "lang_pred", "n_tokens", "cell_id"]
+    want = sorted(tuple(r) for r in
+                  prepare_pages_stream(batch_in).select(cols).collect())
+
+    stream = spark.readStream.schema(batch_in.schema).parquet(src)
+    q = (
+        prepare_pages_stream(stream).select(cols)
+        .writeStream.format("memory").queryName("prep")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("select * from prep").collect())
+    assert got == want and len(got) == 300
+    # extraction really ran: html wrapper stripped, text non-empty
+    assert all(t and "<" not in t for t in {r[4] for r in got})
