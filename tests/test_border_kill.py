@@ -67,6 +67,45 @@ def test_cross_parent_big_gap_not_slivered(spark):
 
 
 @pytest.mark.spark
+def test_gap_open_to_empty_neighbor_stays_open(spark):
+    """A sub-min gap trough flush against a cell border whose neighbor
+    holds no feature GEOMETRY (only bbox contact): the neighbor cell still
+    enters the kernel via the bbox cover, its clipped features vanish, and
+    the whole-cell >= min_area gap face emits the kill interval that keeps
+    the trough a gap (it opens into the void — reference semantics: faces
+    adjacent to the universal face are never slivers)."""
+    cfg = EngineConfig(snap_tolerance=G, min_area_to_keep=0.05)
+    # res-6 vertical border at x=0; U opens east, flush against it:
+    # walls y-thick 0.3, gap trough between them 0.02 tall, cap at west
+    feats = spark.createDataFrame(
+        [
+            (1, _rect(-1.0, 1.00, 0.0, 1.30)),    # south wall
+            (2, _rect(-1.0, 1.32, 0.0, 1.62)),    # north wall
+            (3, _rect(-1.3, 1.00, -1.0, 1.62)),   # west cap
+        ],
+        T.StructType([
+            T.StructField("fid", T.LongType()),
+            T.StructField("geom", T.BinaryType()),
+        ]),
+    )
+    in_areas = {1: 0.3, 2: 0.3, 3: 0.3 * 0.62}
+    both = resolve(feats, cfg, res=6, emit_border_gaps=True).localCheckpoint()
+    # the east neighbor cell (x in [0, 5.625]) was processed and emitted a
+    # kill row even though no feature geometry survives clipping there
+    kill_cells = {r.cell_id for r in
+                  both.where(F.col("owner") == KILL_OWNER).collect()}
+    east_cell = _cell(2.0, 1.31)
+    assert east_cell in kill_cells
+    healed = border_gap_merge(feats, both.where(F.col("owner") >= 0), cfg,
+                              res=6, border_gaps=border_gaps_from_resolve(both),
+                              checkpoint=False)
+    out = {r.owner: r.area for r in healed.collect()}
+    assert set(out) == {1, 2, 3}
+    for fid, a in in_areas.items():
+        assert out[fid] == pytest.approx(a, rel=1e-6), (fid, out[fid], a)
+
+
+@pytest.mark.spark
 def test_healed_preserves_big_cross_border_gap(spark):
     """End to end: four features enclose a thin strip gap (total area 0.12
     >= min_area) crossing the y=0 res-3 boundary; per-cell pieces and even
