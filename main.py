@@ -23,6 +23,9 @@ from __future__ import annotations
 import json
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 def main() -> None:
@@ -36,6 +39,11 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName(f"rog-{cmd}").getOrCreate()
+    # ship the package to executors (the --py-files mode, self-served):
+    # makes `python main.py ...` work from any cwd, not just the repo root
+    import __spark_entry__ as _entry
+
+    _entry._ensure_py_files(spark)
     from resolve_overlap_and_gap_spark.config import EngineConfig
     from resolve_overlap_and_gap_spark.plans import queries as Q
 
@@ -107,6 +115,23 @@ def main() -> None:
             return todo_rows.groupBy("cell_id").applyInPandas(kernel, R.RESOLVE_SCHEMA)
 
         out = run_stage_checkpointed(lin, "resolve", cells, compute, "resolved")
+        n = out.count()
+        done = lin.done_cells("resolve").count()
+        print(json.dumps({"cmd": cmd, "rows": n, "cells_done": done,
+                          "sec": round(time.monotonic() - t0, 2), "out": out_dir}))
+        spark.stop()
+        return
+    elif cmd == "healed-ckpt":
+        # resumable FULL healed pipeline: per-cell resolve resumes via the
+        # done-list anti-join; the cross-cell heal commits as one
+        # idempotent stage over the completed per-cell table
+        from resolve_overlap_and_gap_spark.lineage import (
+            Lineage,
+            run_healed_checkpointed,
+        )
+
+        lin = Lineage(spark, out_dir)
+        out = run_healed_checkpointed(lin, layer, cfg, res)
         n = out.count()
         done = lin.done_cells("resolve").count()
         print(json.dumps({"cmd": cmd, "rows": n, "cells_done": done,

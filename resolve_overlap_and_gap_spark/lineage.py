@@ -110,6 +110,56 @@ class Lineage:
         return self.spark.read.parquet(f"{self.root}/{table}")
 
 
+def run_healed_checkpointed(lin: Lineage, features: DataFrame,
+                            cfg, res: int) -> DataFrame:
+    """Resumable FULL healed pipeline (north rule: runs resume
+    mid-tiling), two stages:
+
+      1. 'resolve' — per-cell, resumed cell-by-cell via the J5 anti-join
+         (emit_border_gaps=True, so the per-cell table already carries the
+         GAP/KILL border rows the heal needs — a resumed run never re-scans
+         completed cells);
+      2. 'healed' — the cross-cell boundary exchange + owner dissolve.  Its
+         natural recompute unit IS the stage (it exists to couple cells),
+         so it commits as one idempotent overwrite of the healed table,
+         with per-owner-bucket metrics logged AFTER the data commit: a
+         crash between the two re-runs only the heal, over the completed
+         stage-1 table.
+    """
+    from resolve_overlap_and_gap_spark.operators import resolve as R
+    from resolve_overlap_and_gap_spark.operators.border import (
+        border_gap_merge,
+        border_gaps_from_resolve,
+    )
+    from resolve_overlap_and_gap_spark.operators.overlap_gap import with_cells
+
+    feats = features.selectExpr("cast(fid as long) as fid", "geom")
+    cells = with_cells(feats, res)
+
+    def compute(todo_rows: DataFrame) -> DataFrame:
+        import pandas as pd
+
+        def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            return R._cell_kernel(pdf, cfg, res, emit_border_gaps=True)
+
+        return todo_rows.groupBy("cell_id").applyInPandas(kernel, R.RESOLVE_SCHEMA)
+
+    both = run_stage_checkpointed(lin, "resolve", cells, compute, "resolved")
+    if not lin.has_stage("healed"):
+        pieces = both.where(F.col("owner") >= 0)
+        healed = border_gap_merge(feats, pieces, cfg, res=res,
+                                  border_gaps=border_gaps_from_resolve(both))
+        if lin.fmt == "iceberg":
+            healed.writeTo(f"{lin.root}.healed").createOrReplace()
+        else:
+            healed.write.mode("overwrite").parquet(f"{lin.root}/healed")
+        metrics = healed.groupBy(
+            F.pmod(F.hash("owner"), F.lit(256)).alias("cell_id")
+        ).agg(F.count("*").alias("n_rows"))
+        lin.log("healed", metrics)
+    return lin.read("healed")
+
+
 def run_stage_checkpointed(
     lin: Lineage,
     stage: str,
