@@ -8,7 +8,9 @@ Usage:
   spark-submit --py-files rog_spark.zip main.py healed  <sf_dir> <out_dir>
   spark-submit --py-files rog_spark.zip main.py query   <sf_dir> <out_dir> <name>
   spark-submit --py-files rog_spark.zip main.py resolve-ckpt <sf_dir> <ckpt_dir>
-      (resumable: reruns skip cells already in <ckpt_dir>/_lineage)
+  spark-submit --py-files rog_spark.zip main.py healed-ckpt  <sf_dir> <ckpt_dir>
+      (resumable: reruns skip cells already in <ckpt_dir>/_lineage; the
+       heal stage re-runs only if its commit marker is absent)
       (<name> = any entry of the driver-contract registry, e.g. pip_polygon,
        asof_join, minhash_sig — `main.py list` prints them)
 
