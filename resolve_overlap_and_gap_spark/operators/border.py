@@ -496,16 +496,26 @@ def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
 
     # 3. slivers join candidate pieces sharing a covering cell with the
     #    sliver bbox (J1); adjacency per sliver via overlay; choose
-    #    longest-shared-border piece (ST_RemEdgeNewFace rule)
+    #    longest-shared-border piece (ST_RemEdgeNewFace rule).
+    #    Pieces may sit at MIXED resolutions (balanced-grid resolve): key
+    #    the sliver at every resolution present so the equi-join matches
+    #    every piece (the res dim is a handful of values).
     sl_df = slivers.select(
         F.monotonically_increasing_id().alias("gap_id"),
         "gap_area",
         F.col("geom").alias("gap_geom"),
     ).localCheckpoint()
-    sl_cells = with_cells(sl_df.withColumnRenamed("gap_geom", "geom")
-                          .withColumnRenamed("gap_id", "fid"), res)
-    sl_cells = sl_cells.select(F.col("fid").alias("gap_id"), F.col("gap_area"),
-                               F.col("geom").alias("gap_geom"), F.col("cell_id"))
+    res_col = F.shiftrightunsigned(F.col("cell_id"), grid.RES_SHIFT).bitwiseAND(F.lit(0x1F))
+    piece_res = sorted(int(r.r) for r in
+                       pieces.select(res_col.alias("r")).distinct().collect())
+    sl_in = (sl_df.withColumnRenamed("gap_geom", "geom")
+             .withColumnRenamed("gap_id", "fid"))
+    sl_cells = None
+    for r in piece_res:
+        part = with_cells(sl_in, r).select(
+            F.col("fid").alias("gap_id"), F.col("gap_area"),
+            F.col("geom").alias("gap_geom"), F.col("cell_id"))
+        sl_cells = part if sl_cells is None else sl_cells.unionByName(part)
     cand = sl_cells.join(
         pieces.select("cell_id", "owner", F.col("geom").alias("piece_geom")), "cell_id"
     )

@@ -368,7 +368,8 @@ def resolve(features: DataFrame, cfg: EngineConfig, res: int = 8,
 
 def resolve_balanced(features: DataFrame, cfg: EngineConfig,
                      geom_col: str = "geom", id_col: str = "fid",
-                     n_buckets: int = 256) -> DataFrame:
+                     n_buckets: int = 256,
+                     emit_border_gaps: bool = False) -> DataFrame:
     """Resolve over the CONTENT-BALANCED grid — the reference's main
     pipeline runs on exactly this grid (resolve_overlap_gap_init builds it
     before any cell job, function_resolve_overlap_gap_init.sql:76-90). Hot
@@ -384,7 +385,8 @@ def resolve_balanced(features: DataFrame, cfg: EngineConfig,
     cells = assigned.withColumn("bucket", F.pmod(F.hash("cell_id"), F.lit(n_buckets)))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _bucket_kernel(pdf, cfg, 0)  # res unused: bounds from cell id
+        # res arg unused by the kernel: cell bounds derive from the id
+        return _bucket_kernel(pdf, cfg, 0, emit_border_gaps)
 
     return cells.select("cell_id", "bucket", "fid", "geom").groupBy(
         "bucket"

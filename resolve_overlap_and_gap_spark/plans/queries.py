@@ -995,7 +995,8 @@ def o_dissolve_strip() -> str:
     """
 
 
-def _healed_cluster_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _healed_cluster_layer(spark: SparkSession, sf_dir: str,
+                          mod: int = 5) -> DataFrame:
     """Closed-form fixture for the HEALED pipeline geometry: per customer
     key, 4 disjoint boxes enclose a thin vertical gap strip —
 
@@ -1018,7 +1019,9 @@ def _healed_cluster_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell, hence border-touching and immune to per-cell sliver merge."""
     from resolve_overlap_and_gap_spark.sources.pages import with_box_wkb
 
-    base = _read(spark, sf_dir, "customer").where("c_custkey % 5 = 0").selectExpr(
+    base = _read(spark, sf_dir, "customer").where(
+        f"c_custkey % {mod} = 0"
+    ).selectExpr(
         "cast(c_custkey as bigint) as k",
         "(c_custkey % 50) * 0.04 as cx",
         "cast(floor(c_custkey / 50.0) as bigint) * 0.8 as cy",
@@ -1066,12 +1069,12 @@ def q_healed_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def o_healed_strip() -> str:
+def _healed_strip_oracle(mod: int) -> str:
     # left wall absorbs the gap: (0.010 + 0.005)*0.36 = 540000e-8;
     # right 0.008*0.36 = 288000e-8; caps 0.023*0.1 = 230000e-8; all 1 part
-    return """
+    return f"""
         with b as (select cast(c_custkey as bigint) as k from customer
-                   where c_custkey % 5 = 0),
+                   where c_custkey % {mod} = 0),
         u as (select k * 4     as owner, 540000 as area_x1e8 from b
               union all select k * 4 + 1, 288000 from b
               union all select k * 4 + 2, 230000 from b
@@ -1081,6 +1084,52 @@ def o_healed_strip() -> str:
                cast(1 as bigint) as n_parts
         from u
     """
+
+
+def o_healed_strip() -> str:
+    return _healed_strip_oracle(5)
+
+
+def q_healed_strip_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The healed pipeline over the CONTENT-BALANCED grid, hash-compared
+    against the same closed form: clusters refine to a mixed-resolution
+    frontier (max 16 feature centers per cell from a coarse base), so the
+    per-cell resolve, the cross-resolution border-gap reassembly, and the
+    mixed-res sliver-candidate join all run on cells of SEVERAL sizes and
+    must still produce the constant owner areas.  Gaps wholly interior to
+    a coarse cell take the per-cell sliver-merge path instead — both
+    paths share the longest-border/min-id rule, so the answer is the same
+    closed form."""
+    from resolve_overlap_and_gap_spark.config import EngineConfig, GridConfig
+    from resolve_overlap_and_gap_spark.operators.border import (
+        border_gap_merge,
+        border_gaps_from_resolve,
+    )
+    from resolve_overlap_and_gap_spark.operators.resolve import resolve_balanced
+
+    layer = _healed_cluster_layer(spark, sf_dir, mod=10)
+    # max 6 centers/cell: the 16-center base-8 cells refine 1-2 levels, so
+    # the frontier genuinely mixes resolutions (asserted in
+    # tests/test_healed_balanced_mixed.py)
+    cfg = EngineConfig(
+        snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=2e-3,
+        grid=GridConfig(base_resolution=8, max_resolution=12,
+                        max_rows_in_each_cell=6),
+    )
+    both = resolve_balanced(layer, cfg, emit_border_gaps=True).localCheckpoint()
+    pieces = both.where(F.col("owner") >= 0)
+    healed = border_gap_merge(layer, pieces, cfg, res=12,
+                              border_gaps=border_gaps_from_resolve(both),
+                              checkpoint=False)
+    return healed.select(
+        "owner",
+        F.expr("cast(round(area * 100000000.0) as bigint)").alias("area_x1e8"),
+        F.col("n_parts").cast("long").alias("n_parts"),
+    )
+
+
+def o_healed_strip_balanced() -> str:
+    return _healed_strip_oracle(10)
 
 
 def q_clean_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1894,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_strip": q_resolve_strip,
         "dissolve_strip": q_dissolve_strip,
         "healed_strip": q_healed_strip,
+        "healed_strip_balanced": q_healed_strip_balanced,
         "dedup_clusters": q_dedup_clusters,
         "ann_invariants": q_ann_invariants,
         "lm_score": q_lm_score,
@@ -1948,6 +1998,7 @@ def oracle_sql() -> dict[str, str]:
         "resolve_strip": o_resolve_strip(),
         "dissolve_strip": o_dissolve_strip(),
         "healed_strip": o_healed_strip(),
+        "healed_strip_balanced": o_healed_strip_balanced(),
         "dedup_clusters": o_dedup_clusters(),
         "ann_invariants": o_ann_invariants(),
         "lm_score": o_lm_score(),
