@@ -1132,6 +1132,41 @@ def o_healed_strip_balanced() -> str:
     return _healed_strip_oracle(10)
 
 
+def q_healed_strip_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The healed pipeline with GEODESIC decision areas (the reference's
+    utm=false + ST_Area(geo, true) path): every sliver/min-area decision —
+    per-cell merge, live/kill split, reassembly finalize — runs in
+    spherical m^2, while reported areas stay planar deg^2, so the closed
+    form is unchanged.  min_area 24e6 m^2 separates the gap (20.3-22.3e6
+    m^2 across the layout's latitudes) from the smallest feature face
+    (caps, 25.9-28.4e6 m^2) at EVERY cluster latitude, so the geodesic
+    measure must agree with the planar closed form cluster by cluster."""
+    from resolve_overlap_and_gap_spark.config import EngineConfig
+    from resolve_overlap_and_gap_spark.operators.border import (
+        border_gap_merge,
+        border_gaps_from_resolve,
+    )
+    from resolve_overlap_and_gap_spark.operators.resolve import resolve
+
+    layer = _healed_cluster_layer(spark, sf_dir, mod=15)
+    cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=24e6,
+                       geodesic_measure=True)
+    both = resolve(layer, cfg, res=12, emit_border_gaps=True).localCheckpoint()
+    pieces = both.where(F.col("owner") >= 0)
+    healed = border_gap_merge(layer, pieces, cfg, res=12,
+                              border_gaps=border_gaps_from_resolve(both),
+                              checkpoint=False)
+    return healed.select(
+        "owner",
+        F.expr("cast(round(area * 100000000.0) as bigint)").alias("area_x1e8"),
+        F.col("n_parts").cast("long").alias("n_parts"),
+    )
+
+
+def o_healed_strip_geo() -> str:
+    return _healed_strip_oracle(15)
+
+
 def q_clean_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's post-run validation as a CONSTANT-comparable oracle
     row (resolve_overlap_gap_compare_result.sql after-phase): after
@@ -1944,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_strip": q_dissolve_strip,
         "healed_strip": q_healed_strip,
         "healed_strip_balanced": q_healed_strip_balanced,
+        "healed_strip_geo": q_healed_strip_geo,
         "dedup_clusters": q_dedup_clusters,
         "ann_invariants": q_ann_invariants,
         "lm_score": q_lm_score,
@@ -1999,6 +2035,7 @@ def oracle_sql() -> dict[str, str]:
         "dissolve_strip": o_dissolve_strip(),
         "healed_strip": o_healed_strip(),
         "healed_strip_balanced": o_healed_strip_balanced(),
+        "healed_strip_geo": o_healed_strip_geo(),
         "dedup_clusters": o_dedup_clusters(),
         "ann_invariants": o_ann_invariants(),
         "lm_score": o_lm_score(),
