@@ -67,6 +67,31 @@ def test_cross_parent_big_gap_not_slivered(spark):
 
 
 @pytest.mark.spark
+def test_reassembly_bucket_invariance(spark):
+    """Sliver reassembly output is independent of the hashed bucket count
+    (task layout): kernels are per-parent-cell deterministic, kill
+    intervals merge in sorted order."""
+    cfg = EngineConfig(snap_tolerance=G, min_area_to_keep=0.1)
+    xs = [-20.0, -16.875, -11.25, -5.625, 0.0]
+    rows = [
+        (_cell((a + b) / 2, 1.005), _rect(a, 1.0, b, 1.01))
+        for a, b in zip(xs, xs[1:])
+    ]
+    rows.append((_cell(0.025, 1.005), _rect(0.0, 1.0, 0.05, 1.01)))
+    rows.append((_cell(-0.025, 5.001), _rect(-0.05, 5.0, 0.0, 5.002)))
+    rows.append((_cell(0.015, 5.001), _rect(0.0, 5.0, 0.03, 5.002)))
+    gaps = spark.createDataFrame(rows, GAP_SCHEMA)
+
+    def run(nb):
+        return sorted(
+            (round(r.gap_area, 12), bytes(r.geom))
+            for r in reassemble_border_gaps(gaps, cfg, n_buckets=nb).collect()
+        )
+
+    assert run(2) == run(64)
+
+
+@pytest.mark.spark
 def test_gap_open_to_empty_neighbor_stays_open(spark):
     """A sub-min gap trough flush against a cell border whose neighbor
     holds no feature GEOMETRY (only bbox contact): the neighbor cell still
