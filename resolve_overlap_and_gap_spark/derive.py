@@ -28,6 +28,16 @@ def regex_replace_all_sql(col: str, pattern: str, repl: str, dialect: str) -> st
     return f"regexp_replace({col}, '{pattern}', '{repl}', 'g')"
 
 
+def regex_extract_sql(col: str, pattern: str, dialect: str) -> str:
+    """First match (group 0) of a regex, portable — same backslash
+    escaping split as regex_replace_all_sql; '' when no match in both
+    engines."""
+    if dialect == SPARK:
+        pat = pattern.replace("\\", "\\\\")
+        return f"regexp_extract({col}, '{pat}', 0)"
+    return f"coalesce(regexp_extract({col}, '{pattern}'), '')"
+
+
 def norm_ws_sql(col: str, dialect: str) -> str:
     """trim + squeeze internal whitespace to single spaces."""
     return regex_replace_all_sql(f"trim({col})", r"\s+", " ", dialect)

@@ -153,10 +153,12 @@ def run_healed_checkpointed(lin: Lineage, features: DataFrame,
             healed.writeTo(f"{lin.root}.healed").createOrReplace()
         else:
             healed.write.mode("overwrite").parquet(f"{lin.root}/healed")
-        # cell_id must be BIGINT like stage-1 rows: F.hash returns int32,
-        # and a lineage dir mixing INT32/INT64 physical types breaks the
-        # vectorized parquet reader on the next read
-        metrics = healed.groupBy(
+        # metrics aggregate the JUST-WRITTEN table, not the lazy `healed`
+        # plan — re-evaluating that plan would run the heal's final owner
+        # dissolve a second time.  cell_id must be BIGINT like stage-1
+        # rows: F.hash returns int32, and a lineage dir mixing INT32/INT64
+        # physical types breaks the vectorized parquet reader
+        metrics = lin.read("healed").groupBy(
             F.pmod(F.hash("owner"), F.lit(256)).cast("long").alias("cell_id")
         ).agg(F.count("*").alias("n_rows"))
         lin.log("healed", metrics)

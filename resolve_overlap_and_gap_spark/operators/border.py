@@ -508,6 +508,8 @@ def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
     res_col = F.shiftrightunsigned(F.col("cell_id"), grid.RES_SHIFT).bitwiseAND(F.lit(0x1F))
     piece_res = sorted(int(r.r) for r in
                        pieces.select(res_col.alias("r")).distinct().collect())
+    if not piece_res:
+        piece_res = [res]  # no pieces at all: keep the join shape (empty)
     sl_in = (sl_df.withColumnRenamed("gap_geom", "geom")
              .withColumnRenamed("gap_id", "fid"))
     sl_cells = None

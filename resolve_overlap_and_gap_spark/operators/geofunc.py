@@ -87,15 +87,20 @@ def st_translate(geom: Column, dx: float, dy: float) -> Column:
         out = []
         for b in geoms:
             kind, coords = wkb.load(bytes(b))
-            if kind == "linestring":
+            if kind == "point":
+                out.append(wkb.dump_point((float(coords[0]) + dx,
+                                           float(coords[1]) + dy)))
+            elif kind == "linestring":
                 c = np.asarray(coords, np.float64) + [dx, dy]
                 out.append(wkb.dump_linestring(c))
-            else:
+            elif kind in ("polygon", "multipolygon"):
                 polys = [
                     [np.asarray(r, np.float64) + [dx, dy] for r in rings]
                     for rings in wkb.load_polygons(bytes(b))
                 ]
                 out.append(wkb.dump_multipolygon(polys))
+            else:
+                raise ValueError(f"st_translate: unsupported WKB kind {kind!r}")
         return pd.Series(out)
 
     return _tr(geom)

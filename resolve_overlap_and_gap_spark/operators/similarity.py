@@ -164,6 +164,10 @@ def lsh_ann_topk(emb: DataFrame, k: int, dim: int, n_planes: int | None = None,
     the bucket. One equi-join on bucket (shuffle); skewed buckets handled by
     AQE skew-join.  n_planes defaults to auto_planes(corpus size) so the
     per-bucket quadratic stays bounded as the corpus grows."""
+    if n_planes is None:
+        # auto_planes needs a count, and the bucket self-join evaluates the
+        # plan twice more — materialize once instead of 3 upstream passes
+        emb = emb.localCheckpoint()
     b = with_lsh_bucket(emb, dim, n_planes, seed)
     a = b.select(F.col("pid").alias("qid"), F.col("vec").alias("qvec"), "bucket")
     j = b.join(a, "bucket").where(F.col("pid") != F.col("qid"))

@@ -137,27 +137,33 @@ def canonical_url_sql(col: str, dialect: str) -> str:
     """Crawl URL canonicalization (the dedup key for url-level dedup of a
     Common-Crawl-style table — the input_hint's `url` column): lowercase
     scheme+host, strip `www.`, strip default ports (:80 http / :443
-    https), drop the fragment, drop `utm_*` tracking params (promoting the
-    next param to `?`), collapse `/?` -> `?`, strip a trailing slash
-    except on the root path.  One formula, both dialects; built without
-    regex backreferences (Spark `$1` vs DuckDB `\\1` would otherwise
-    diverge)."""
-    sh = f"regexp_extract({col}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)"
+    https), drop the fragment, drop `utm_*` tracking params from the
+    QUERY (promoting the next param to `?`), strip a trailing slash from
+    the PATH except on the root path.  Path and query are split before
+    the rewrites, so a literal `&utm_` inside a path segment or `/?`
+    inside a query value is never corrupted.  One formula, both dialects;
+    built without regex backreferences (Spark `$1` vs DuckDB `\\1` would
+    otherwise diverge)."""
+    from resolve_overlap_and_gap_spark.derive import regex_extract_sql
+
+    sh = regex_extract_sql(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", dialect)
     sh = f"replace(lower({sh}), '://www.', '://')"
     sh = (f"(case when {sh} like 'http://%' then "
           f"{regex_replace_all_sql(sh, ':80$', '', dialect)} "
           f"when {sh} like 'https://%' then "
           f"{regex_replace_all_sql(sh, ':443$', '', dialect)} "
           f"else {sh} end)")
-    rest = (f"substr({col}, length(regexp_extract("
-            f"{col}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) + 1)")
+    sh_raw = regex_extract_sql(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", dialect)
+    rest = f"substr({col}, length({sh_raw}) + 1)"
     rest = regex_replace_all_sql(rest, r"#.*$", "", dialect)      # fragment
-    rest = regex_replace_all_sql(rest, r"&utm_[^&]*", "", dialect)
-    rest = regex_replace_all_sql(rest, r"\?utm_[^&]*&", "?", dialect)
-    rest = regex_replace_all_sql(rest, r"\?utm_[^&]*$", "", dialect)
-    rest = regex_replace_all_sql(rest, r"/\?", "?", dialect)
-    rest = f"(case when {rest} = '/' then '/' else {regex_replace_all_sql(rest, '/$', '', dialect)} end)"
-    return f"concat({sh}, {rest})"
+    path = regex_extract_sql(f"({rest})", r"^[^?]*", dialect)
+    query = regex_extract_sql(f"({rest})", r"\?.*$", dialect)
+    query = regex_replace_all_sql(f"({query})", r"&utm_[^&]*", "", dialect)
+    query = regex_replace_all_sql(f"({query})", r"\?utm_[^&]*&", "?", dialect)
+    query = regex_replace_all_sql(f"({query})", r"\?utm_[^&]*$", "", dialect)
+    path = (f"(case when ({path}) = '/' then '/' else "
+            f"{regex_replace_all_sql(f'({path})', '/$', '', dialect)} end)")
+    return f"concat({sh}, {path}, {query})"
 
 
 def url_host_sql(canon_col: str, dialect: str) -> str:

@@ -109,8 +109,12 @@ def neardup_stream(pages: DataFrame, k: int = 3, n_hashes: int = 8,
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
-            seen: list[int] = list(state.get[0])
-            n_dropped = int(state.get[1] or 0)
+            st = state.get
+            seen: list[int] = list(st[0])
+            # tolerate pre-n_dropped state tuples (a checkpoint written by
+            # the 1-field schema); Spark itself may still reject the widened
+            # schema at restart — new deployments start fresh checkpoints
+            n_dropped = int(st[1] or 0) if len(st) > 1 else 0
         else:
             seen, n_dropped = [], 0
         seen_set = set(seen)  # O(1) membership; `seen` keeps arrival order

@@ -67,6 +67,23 @@ def test_cross_parent_big_gap_not_slivered(spark):
 
 
 @pytest.mark.spark
+def test_merge_with_empty_pieces(spark):
+    """border_gap_merge with zero owner pieces (e.g. every feature
+    quarantined) must return an empty healed layer, not crash in the
+    mixed-res sliver keying."""
+    from resolve_overlap_and_gap_spark.operators.resolve import RESOLVE_SCHEMA
+
+    cfg = EngineConfig(snap_tolerance=G, min_area_to_keep=0.1)
+    feats = spark.createDataFrame([], T.StructType([
+        T.StructField("fid", T.LongType()), T.StructField("geom", T.BinaryType())]))
+    pieces = spark.createDataFrame([], RESOLVE_SCHEMA)
+    gaps = spark.createDataFrame(
+        [(_cell(-0.025, 5.001), _rect(-0.05, 5.0, 0.0, 5.002))], GAP_SCHEMA)
+    healed = border_gap_merge(feats, pieces, cfg, res=6, border_gaps=gaps)
+    assert healed.count() == 0
+
+
+@pytest.mark.spark
 def test_reassembly_bucket_invariance(spark):
     """Sliver reassembly output is independent of the hashed bucket count
     (task layout): kernels are per-parent-cell deterministic, kill

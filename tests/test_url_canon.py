@@ -25,6 +25,11 @@ CASES = [
     ("http://a.com/dir/", "http://a.com/dir"),
     ("http://a.com/", "http://a.com/"),                       # root slash kept
     ("ftp://Host.Net/File", "ftp://host.net/File"),           # path case kept
+    # path/query split: '&utm_' in a PATH segment and '/?' inside a query
+    # value are data, not tracking params — must pass through untouched
+    ("http://a.com/p&utm_x/q", "http://a.com/p&utm_x/q"),
+    ("http://a.com/p?next=/?x", "http://a.com/p?next=/?x"),
+    ("http://a.com/?id=3", "http://a.com/?id=3"),             # root + query
 ]
 
 
