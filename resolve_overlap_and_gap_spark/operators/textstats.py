@@ -166,6 +166,38 @@ def canonical_url_sql(col: str, dialect: str) -> str:
     return f"concat({sh}, {path}, {query})"
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PII_PHONE = r"\+[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def pii_scrub_sql(col: str, dialect: str) -> str:
+    """PII redaction (the pre-training scrub step): emails, IPv4 addresses
+    and international-format phone numbers replaced by typed tags.  One
+    dialect-parameterized formula (Java regex vs RE2 both support the
+    classes and \\b used here); order matters — emails first so their
+    domains are not half-eaten by the IP rule."""
+    x = regex_replace_all_sql(col, _PII_EMAIL, "<EMAIL>", dialect)
+    x = regex_replace_all_sql(x, _PII_IPV4, "<IP>", dialect)
+    x = regex_replace_all_sql(x, _PII_PHONE, "<PHONE>", dialect)
+    return x
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, text_scrubbed, n_emails, n_ips, n_phones) — JVM regexps."""
+    s = pii_scrub_sql(text_col, SPARK)
+    return docs.selectExpr(
+        f"cast({id_col} as bigint) as doc_id",
+        f"{s} as text_scrubbed",
+    ).selectExpr(
+        "doc_id", "text_scrubbed",
+        f"{occurrences_sql('text_scrubbed', '<EMAIL>')} as n_emails",
+        f"{occurrences_sql('text_scrubbed', '<IP>')} as n_ips",
+        f"{occurrences_sql('text_scrubbed', '<PHONE>')} as n_phones",
+    )
+
+
 def url_host_sql(canon_col: str, dialect: str) -> str:
     """Host of a canonicalized URL (the blocking key for host-level
     aggregation / per-site quotas in a crawl pipeline)."""

@@ -1818,6 +1818,99 @@ def o_repetition() -> str:
     """
 
 
+def _pii_wrap_sql(dialect: str) -> str:
+    """Deterministic PII injection around each document (an email, an IPv4
+    and a phone keyed off doc_id) — the fixture for the scrub oracle."""
+    s = "string" if dialect == SPARK else "varchar"
+    d = f"cast(doc_id as {s})"
+    return (
+        f"concat(text, ' contact user', {d}, '@mail', "
+        f"cast(doc_id % 7 as {s}), '.example.org or 10.1.', "
+        f"cast(doc_id % 200 as {s}), '.', cast(doc_id % 250 as {s}), "
+        f" ' tel +47 9', {d}, ' 55 667 end')"
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub step a training pipeline runs before
+    tokenization: emails / IPv4 / phone numbers replaced by typed tags.
+    The fixture injects deterministic PII in-query so the oracle checks
+    the FULL redaction semantics; output hashes the scrubbed text and
+    counts each tag."""
+    from resolve_overlap_and_gap_spark.operators.textstats import pii_scrub
+
+    docs = _read(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_pii_wrap_sql(SPARK)} as text")
+    return pii_scrub(docs).selectExpr(
+        "doc_id", "md5(text_scrubbed) as text_md5",
+        "n_emails", "n_ips", "n_phones")
+
+
+def o_pii_scrub() -> str:
+    s = textstats.pii_scrub_sql("text", DUCKDB)
+    n_e = textstats.occurrences_sql("scrubbed", "<EMAIL>")
+    n_i = textstats.occurrences_sql("scrubbed", "<IP>")
+    n_p = textstats.occurrences_sql("scrubbed", "<PHONE>")
+    return f"""
+        with w as (select cast(doc_id as bigint) as doc_id,
+                          {_pii_wrap_sql(DUCKDB)} as text
+                   from documents),
+        sc as (select doc_id, {s} as scrubbed from w)
+        select doc_id, md5(scrubbed) as text_md5,
+               {n_e} as n_emails, {n_i} as n_ips, {n_p} as n_phones
+        from sc
+    """
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag corpus documents sharing any word
+    8-gram with a held-out eval set (here: docs with doc_id % 50 = 0, a
+    derived fixture).  The eval gram set is a broadcast-sized dim; the
+    corpus side is one gram explode + semi-join + per-doc distinct count.
+    This is the C4/RefinedWeb-style decontamination pass at its 100 TB
+    shape (grams never all-pairs; one equi-join on the gram hash)."""
+    norm = dedup.normalize_sql("text", SPARK)
+    g8 = "concat_ws(' ', " + ", ".join(f"t[i+{j}]" for j in range(8)) + ")"
+    toks = _read(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id as bigint) as doc_id", f"split({norm}, ' ') as t"
+    ).where("size(t) >= 8").localCheckpoint()
+    grams = toks.selectExpr(
+        "doc_id",
+        f"explode(transform(sequence(0, size(t) - 8), i -> {g8})) as g")
+    eval_grams = (grams.where("doc_id % 50 = 0").select("g").distinct())
+    corpus = grams.where("doc_id % 50 != 0")
+    hits = corpus.join(F.broadcast(eval_grams), "g").groupBy("doc_id").agg(
+        F.countDistinct("g").alias("n_hits"))
+    base = toks.where("doc_id % 50 != 0").select("doc_id")
+    return base.join(hits, "doc_id", "left").selectExpr(
+        "doc_id",
+        "cast(coalesce(n_hits, 0) as bigint) as n_hits",
+        "coalesce(n_hits, 0) > 0 as contaminated")
+
+
+def o_decontaminate() -> str:
+    norm = dedup.normalize_sql("text", DUCKDB)
+    g8 = "concat_ws(' ', " + ", ".join(f"t[i+{j}]" for j in range(8)) + ")"
+    return f"""
+        with toks as (select * from (
+                          select cast(doc_id as bigint) as doc_id,
+                                 string_split({norm}, ' ') as t
+                          from documents)
+                      where length(t) >= 8),
+        grams as (select doc_id, {g8} as g
+                  from toks, unnest(generate_series(1, length(t) - 7)) as u(i)),
+        ev as (select distinct g from grams where doc_id % 50 = 0),
+        hits as (select doc_id, count(distinct g) as n_hits
+                 from grams join ev using (g)
+                 where doc_id % 50 != 0 group by 1)
+        select t.doc_id,
+               cast(coalesce(h.n_hits, 0) as bigint) as n_hits,
+               coalesce(h.n_hits, 0) > 0 as contaminated
+        from toks t left join hits h on t.doc_id = h.doc_id
+        where t.doc_id % 50 != 0
+    """
+
+
 def _html_wrap_sql(dialect: str) -> str:
     """Deterministic HTML wrapper around each document (tags + entities +
     a script block), built identically in both dialects — the fixture for
@@ -1988,6 +2081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "url_hosts": q_url_hosts,
         "repetition": q_repetition,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -2044,4 +2139,6 @@ def oracle_sql() -> dict[str, str]:
         "url_canon": o_url_canon(),
         "url_hosts": o_url_hosts(),
         "repetition": o_repetition(),
+        "pii_scrub": o_pii_scrub(),
+        "decontaminate": o_decontaminate(),
     }
