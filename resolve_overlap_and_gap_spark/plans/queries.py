@@ -1911,6 +1911,106 @@ def o_decontaminate() -> str:
     """
 
 
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE: the end-to-end corpus selection a training pipeline makes
+    — every document gets a keep/drop verdict with the FIRST failing rule
+    as its reason, in the pipeline's order:
+
+        eval_member  (held-out eval set, doc_id % 50 = 0)
+        duplicate    (not the min-id of its exact-dedup group)
+        language     (n-gram lang id != 'en')
+        quality      (n_words < 20 or top word holds > half the mass)
+        contaminated (shares a word 8-gram with the eval set)
+        kept
+
+    Composes the individually-oracled operators (dedup/lang/repetition/
+    decontaminate) into one integration query; integer-exact rule tests
+    (mx*2 > n_words instead of a float ratio)."""
+    norm = dedup.normalize_sql("text", SPARK)
+    g8 = "concat_ws(' ', " + ", ".join(f"t[i+{j}]" for j in range(8)) + ")"
+    base = _read(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id as bigint) as doc_id",
+        f"{norm} as norm_text",
+    ).localCheckpoint()
+    w = Window.partitionBy("norm_text")
+    dd = base.withColumn("min_id", F.min("doc_id").over(w)).select(
+        "doc_id", "norm_text", "min_id")
+    toks = base.selectExpr("doc_id", "split(norm_text, ' ') as t")
+    words = toks.selectExpr("doc_id", "explode(t) as wd")
+    tw = words.groupBy("doc_id", "wd").count().groupBy("doc_id").agg(
+        F.max("count").alias("mx"), F.sum("count").alias("n_words"))
+    grams = toks.where("size(t) >= 8").selectExpr(
+        "doc_id", f"explode(transform(sequence(0, size(t) - 8), i -> {g8})) as g")
+    ev = grams.where("doc_id % 50 = 0").select("g").distinct()
+    cont = (grams.where("doc_id % 50 != 0").join(F.broadcast(ev), "g")
+            .select("doc_id").distinct().withColumn("is_cont", F.lit(True)))
+    lang = base.selectExpr(
+        "doc_id", f"{textstats.lang_id_sql('norm_text')} as lang_pred")
+    out = (dd.join(tw, "doc_id", "left").join(lang, "doc_id")
+           .join(cont, "doc_id", "left"))
+    reason = (
+        "case when doc_id % 50 = 0 then 'eval_member' "
+        "when doc_id != min_id then 'duplicate' "
+        "when lang_pred != 'en' then 'language' "
+        "when coalesce(n_words, 0) < 20 or coalesce(mx, 0) * 2 > coalesce(n_words, 0) "
+        "then 'quality' "
+        "when coalesce(is_cont, false) then 'contaminated' "
+        "else 'kept' end"
+    )
+    return out.selectExpr(
+        "doc_id", f"{reason} as reason",
+        f"({reason}) = 'kept' as keep")
+
+
+def o_corpus_select() -> str:
+    norm = dedup.normalize_sql("text", DUCKDB)
+    g8 = "concat_ws(' ', " + ", ".join(f"t[i+{j}]" for j in range(8)) + ")"
+    lang = textstats.lang_id_sql("norm_text")
+    return f"""
+        with base as (select cast(doc_id as bigint) as doc_id,
+                             {norm} as norm_text
+                      from documents),
+        dd as (select doc_id, norm_text,
+                      min(doc_id) over (partition by norm_text) as min_id
+               from base),
+        toks as (select doc_id, string_split(norm_text, ' ') as t from base),
+        words as (select doc_id, unnest(t) as wd from toks),
+        tw as (select doc_id, max(c) as mx, sum(c) as n_words from (
+                   select doc_id, wd, count(*) as c from words group by 1, 2)
+               group by 1),
+        grams as (select doc_id, {g8} as g
+                  from toks, unnest(generate_series(1, length(t) - 7)) as u(i)
+                  where length(t) >= 8),
+        ev as (select distinct g from grams where doc_id % 50 = 0),
+        cont as (select distinct doc_id, true as is_cont
+                 from grams join ev using (g) where doc_id % 50 != 0),
+        lang as (select doc_id, {lang} as lang_pred from base),
+        j as (select dd.doc_id, dd.min_id, tw.mx, tw.n_words,
+                     lang.lang_pred, cont.is_cont
+              from dd left join tw on dd.doc_id = tw.doc_id
+                      join lang on dd.doc_id = lang.doc_id
+                      left join cont on dd.doc_id = cont.doc_id)
+        select doc_id,
+               (case when doc_id % 50 = 0 then 'eval_member'
+                     when doc_id != min_id then 'duplicate'
+                     when lang_pred != 'en' then 'language'
+                     when coalesce(n_words, 0) < 20
+                          or coalesce(mx, 0) * 2 > coalesce(n_words, 0)
+                     then 'quality'
+                     when coalesce(is_cont, false) then 'contaminated'
+                     else 'kept' end) as reason,
+               (case when doc_id % 50 = 0 then 'eval_member'
+                     when doc_id != min_id then 'duplicate'
+                     when lang_pred != 'en' then 'language'
+                     when coalesce(n_words, 0) < 20
+                          or coalesce(mx, 0) * 2 > coalesce(n_words, 0)
+                     then 'quality'
+                     when coalesce(is_cont, false) then 'contaminated'
+                     else 'kept' end) = 'kept' as keep
+        from j
+    """
+
+
 def _html_wrap_sql(dialect: str) -> str:
     """Deterministic HTML wrapper around each document (tags + entities +
     a script block), built identically in both dialects — the fixture for
@@ -2083,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
+        "corpus_select": q_corpus_select,
     }
 
 
@@ -2141,4 +2242,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition": o_repetition(),
         "pii_scrub": o_pii_scrub(),
         "decontaminate": o_decontaminate(),
+        "corpus_select": o_corpus_select(),
     }
