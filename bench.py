@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "top_terms",
     "bpe_tokens",
     "url_canon",
+    "pii_scrub",
+    "corpus_select",
     # ANN scale paths + multimodal plumbing (rows-only in CORRECTNESS, but
     # they are the 100TB-path operators — bench them)
     "ann_lsh",
