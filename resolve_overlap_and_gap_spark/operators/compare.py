@@ -32,6 +32,10 @@ def _metrics(det: DataFrame, phase: str, min_area: float) -> DataFrame:
             F.when((F.col("kind") == "gap") & (F.col("area") < min_area)
                    & ~F.col("touches_border"), 1).otherwise(0)
         ), F.lit(0)).alias("n_small_interior_gaps"),
+        F.coalesce(F.sum(
+            F.when((F.col("kind") == "gap") & (F.col("area") < min_area)
+                   & ~F.col("touches_border"), F.col("area")).otherwise(0.0)
+        ), F.lit(0.0)).alias("small_interior_gap_mass"),
     )
 
 

@@ -1190,6 +1190,91 @@ def o_clean_invariants() -> str:
     """
 
 
+def _compare_cluster_layer(spark: SparkSession, sf_dir: str,
+                           mod: int = 25) -> DataFrame:
+    """Closed-form fixture for the FULL compare pipeline
+    (detect -> resolve -> heal -> re-detect): the same 4-box gap cluster as
+    _healed_cluster_layer, but each cluster placed strictly INTERIOR to one
+    res-4 grid cell (22.5 x 11.25 deg), one cluster per cell, max 210
+    slots (dense row_number over the key).  Interior placement makes the
+    enclosed gap strip the ONLY interior gap face in its cell — all other
+    uncovered faces reach the cell border — so the before-phase
+    small-interior-gap count (1/cluster) and mass (0.005*0.36 = 1.8e-3
+    deg^2/cluster) are exact constants, and after resolve's per-cell
+    sliver merge (T3) both must be ZERO."""
+    from resolve_overlap_and_gap_spark.sources.pages import with_box_wkb
+    from pyspark.sql.window import Window
+
+    base = _read(spark, sf_dir, "customer").where(
+        f"c_custkey % {mod} = 0"
+    ).selectExpr("cast(c_custkey as bigint) as k")
+    # dense slot id: alignment-safe positions independent of key gaps; the
+    # single-partition window ranks only ~n/mod tiny rows
+    slot = base.withColumn(
+        "s", F.row_number().over(Window.orderBy("k")) - 1
+    ).where(F.col("s") < 210)
+    pos = slot.selectExpr(
+        "k",
+        "-180.0 + (s % 15) * 22.5 + 10.0 as cx",
+        "-90.0 + cast(floor(s / 15) as double) * 11.25 + 5.0 as cy",
+    )
+    boxes = pos.selectExpr(
+        "explode(array("
+        "struct(k*4   as fid, cx as xmin, cy as ymin,"
+        "       cx + 0.01 as xmax, cy + 0.36 as ymax),"
+        "struct(k*4+1 as fid, cx + 0.015 as xmin, cy as ymin,"
+        "       cx + 0.023 as xmax, cy + 0.36 as ymax),"
+        "struct(k*4+2 as fid, cx as xmin, cy + 0.36 as ymin,"
+        "       cx + 0.023 as xmax, cy + 0.46 as ymax),"
+        "struct(k*4+3 as fid, cx as xmin, cy - 0.1 as ymin,"
+        "       cx + 0.023 as xmax, cy as ymax))) as b"
+    ).select("b.*")
+    return with_box_wkb(boxes.withColumnRenamed("fid", "bid")).select(
+        F.col("bid").alias("fid"), "geom")
+
+
+def q_clean_metrics_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compare harness (reference resolve_overlap_gap_compare_result.sql)
+    with a CONSTANT two-row oracle for BOTH phases: on the interior-cluster
+    layout the before-phase detection must find exactly one small interior
+    gap of mass 1.8e-3 deg^2 per cluster and zero overlaps, and the after
+    phase must be all zeros — a hash-exact end-to-end check of the whole
+    detect -> resolve -> sliver-merge -> re-detect loop (the derived-layer
+    clean_metrics keeps the rows-only realistic-input run)."""
+    from resolve_overlap_and_gap_spark.config import EngineConfig
+    from resolve_overlap_and_gap_spark.operators.compare import compare_before_after
+
+    layer = _compare_cluster_layer(spark, sf_dir)
+    cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=2e-3)
+    out = compare_before_after(layer, cfg, res=4)
+    return out.select(
+        "phase",
+        F.col("n_overlaps").cast("long").alias("n_overlaps"),
+        F.expr("cast(round(overlap_area * 1e9) as bigint)").alias("overlap_area_x1e9"),
+        F.col("n_small_interior_gaps").cast("long").alias("n_small_interior_gaps"),
+        F.expr("cast(round(small_interior_gap_mass * 1e8) as bigint)").alias("gap_mass_x1e8"),
+    )
+
+
+def o_clean_metrics_strip() -> str:
+    # 1 interior gap per cluster, mass 0.005*0.36 = 1.8e-3 deg^2 = 180000e-8
+    return """
+        with b as (select cast(c_custkey as bigint) as k from customer
+                   where c_custkey % 25 = 0),
+        r as (select k, row_number() over (order by k) - 1 as s from b),
+        n as (select count(*) as nc from r where s < 210)
+        select 'before' as phase, cast(0 as bigint) as n_overlaps,
+               cast(0 as bigint) as overlap_area_x1e9,
+               cast(nc as bigint) as n_small_interior_gaps,
+               cast(nc * 180000 as bigint) as gap_mass_x1e8
+        from n
+        union all
+        select 'after', cast(0 as bigint), cast(0 as bigint),
+               cast(0 as bigint), cast(0 as bigint)
+        from n
+    """
+
+
 def q_dissolve_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dissolve (ST_Union GROUP BY key, A2): union of derived n-gon
     footprints per group of 100 pages; internal/overlap edges healed.
@@ -1315,6 +1400,44 @@ def o_simhash_neardup() -> str:
         from sh a, sh b
         where a.doc_id < b.doc_id
           and bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAXHAM}
+    """
+
+
+def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup CLUSTERS — the pair-explosion guard: the pair set
+    grows ~quadratically inside near-dup groups (2.48M rows at sf0.1; ~10^10
+    at a 100x corpus), while the cluster labeling stays ONE row per document.
+    Pairs feed distributed connected components (min-label + pointer
+    jumping, operators/components.py) without ever materializing the pair
+    table to the driver or a sink; keep-one-per-cluster = where doc_id ==
+    cluster_id.  Oracle: the same pair SQL + recursive transitive closure."""
+    from resolve_overlap_and_gap_spark.operators.components import dedup_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    sh = dedup.simhash(docs, bits=SIMHASH_BITS)
+    pairs = dedup.simhash_neardup_pairs(sh, bits=SIMHASH_BITS, bands=4,
+                                        max_hamming=SIMHASH_MAXHAM)
+    return dedup_clusters(docs, pairs)
+
+
+def o_simhash_clusters() -> str:
+    return f"""
+        with recursive sh as ({o_simhash()}),
+        pairs as (select a.doc_id as id_a, b.doc_id as id_b
+                  from sh a, sh b
+                  where a.doc_id < b.doc_id
+                    and bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAXHAM}),
+        sym as (select id_a as u, id_b as v from pairs
+                union select id_b as u, id_a as v from pairs),
+        reach(u, v) as (select u, v from sym
+                        union
+                        select r.u, s.v from reach r join sym s on r.v = s.u),
+        docs as (select cast(doc_id as bigint) as doc_id from documents)
+        select d.doc_id,
+               cast(coalesce(least(d.doc_id, min(r.v)), d.doc_id) as bigint)
+                 as cluster_id
+        from docs d left join reach r on r.u = d.doc_id
+        group by d.doc_id
     """
 
 
@@ -2145,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "lsh_pairs": q_lsh_pairs,
         "simhash_neardup": q_simhash_neardup,
+        "simhash_clusters": q_simhash_clusters,
         "asof_join": q_asof_join,
         "dwithin_geo": q_dwithin_geo,
         "knn_geo": q_knn_geo,
@@ -2164,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_balanced": q_detect_balanced,
         "resolve_balanced": q_resolve_balanced,
         "clean_metrics": q_clean_metrics,
+        "clean_metrics_strip": q_clean_metrics_strip,
         "detect_boxes": q_detect_boxes,
         "detect_boxes_balanced": q_detect_boxes_balanced,
         "clean_invariants": q_clean_invariants,
@@ -2214,6 +2339,7 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": o_event_windows(),
         "lsh_pairs": o_lsh_pairs(),
         "simhash_neardup": o_simhash_neardup(),
+        "simhash_clusters": o_simhash_clusters(),
         "asof_join": o_asof_join(),
         "dwithin_geo": o_dwithin_geo(),
         "knn_geo": o_knn_geo(),
@@ -2226,6 +2352,7 @@ def oracle_sql() -> dict[str, str]:
         "detect_boxes": o_detect_boxes(),
         "detect_boxes_balanced": o_detect_boxes(),
         "clean_invariants": o_clean_invariants(),
+        "clean_metrics_strip": o_clean_metrics_strip(),
         "polygonize_lattice": o_polygonize_lattice(),
         "resolve_strip": o_resolve_strip(),
         "dissolve_strip": o_dissolve_strip(),
