@@ -127,7 +127,13 @@ def dissolve(df: DataFrame, key_col: str, grid_size: float,
     aggregation (max pieces on any key): 1 when no key exceeds
     AUTO_SALT_TARGET (plain single-level path, no extra pass), else
     ceil(max/TARGET) capped at AUTO_SALT_MAX — so a single giant owner can
-    never serialize the heal's final dissolve."""
+    never serialize the heal's final dissolve.
+
+    CAUTION with 'auto': the sizing count is an EXTRA action over the
+    input, so a lazy expensive upstream plan is evaluated twice (once for
+    the count, once for the dissolve).  Both in-repo call sites feed a
+    checkpointed input; do the same (localCheckpoint / cache) when passing
+    'auto' a non-trivial plan."""
     slim = df.select(
         F.col(key_col).cast("long").alias("key"), F.col(geom_col).alias("geom")
     )

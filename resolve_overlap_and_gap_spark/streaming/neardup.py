@@ -43,6 +43,12 @@ STATE_SCHEMA = T.StructType([
     # VISIBLE, not silent: also logged per batch)
     T.StructField("n_dropped", T.LongType()),
 ])
+# UPGRADE NOTE: n_dropped widened this schema in round 3.  Spark validates
+# the keyed-state schema against the checkpoint on restart, so a stream
+# resumed from a pre-widening checkpoint FAILS FAST with a state-schema
+# mismatch (no silent corruption) — upgraded deployments must start from a
+# fresh checkpointLocation (and re-seed seen-doc state from the batch table
+# if exactly-once dedup across the upgrade matters).
 
 
 def _h32(s: str, salt: str) -> int:
