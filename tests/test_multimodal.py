@@ -116,6 +116,54 @@ def test_png_inverse_filters(ftype):
     assert np.array_equal(_decode_png(_filtered_png(img, ftype)), img)
 
 
+@pytest.mark.parametrize("rf", [1, 2, 3, 4, "cycle"])
+def test_png_roundtrip_encoder_filters(rf):
+    """The encoder's forward filters against the wavefront unfilter:
+    decode(encode(x, f)) == x for every filter type and for the 'cycle'
+    mix (run boundaries between vectorized and wavefront paths)."""
+    rng = np.random.default_rng(42)
+    for c in (1, 3, 4):
+        img = rng.integers(0, 256, (21, 15, c), dtype=np.uint8)
+        assert np.array_equal(
+            _decode_png(encode_png(img, row_filters=rf)), img)
+
+
+def test_png_random_filter_sequences():
+    """Arbitrary per-row filter sequences (incl. single-row runs, runs at
+    the top, 1-pixel-wide images) round-trip exactly — pins the
+    antidiagonal wavefront against the scalar spec semantics."""
+    from resolve_overlap_and_gap_spark.operators.multimodal import _filter_row
+
+    def encode_seq(img, fts):
+        h, w, c = img.shape
+        flat = img.reshape(h, w * c)
+        prev = np.zeros(w * c, np.uint8)
+        rows = []
+        for y in range(h):
+            rows.append(bytes([fts[y]])
+                        + _filter_row(flat[y], prev, int(fts[y]), c).tobytes())
+            prev = flat[y]
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+                + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        h = int(rng.integers(1, 24))
+        w = int(rng.integers(1, 24))
+        c = int(rng.choice([1, 2, 3, 4]))
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        fts = rng.integers(0, 5, h)
+        assert np.array_equal(_decode_png(encode_seq(img, fts)), img)
+
+
 def test_decode_rejects_unsupported_formats():
     with pytest.raises(NotImplementedError):
         _decode_image(b"\xff\xd8\xff\xe0" + b"0" * 100)  # JPEG SOI
