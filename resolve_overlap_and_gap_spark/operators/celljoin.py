@@ -126,51 +126,58 @@ def content_balanced_cells(
     ``max_rows_in_each_cell`` points to its children, repeatedly — the exact
     semantic of cbg_content_based_balanced_grid
     (find_overlap_and_gap-pre.sql:208-236), with Morton children instead of
-    quadrants. Returns (cell_id, res, n_rows).
+    quadrants. Returns (cell_id, n_rows, res); with_hot additionally
+    returns {res: hot-cell DataFrame} for the levels that refined.
 
-    Driver-side loop over resolutions, but each iteration is one distributed
-    aggregation; the loop depth is <= max_res - base_res (log of skew), and
-    only still-oversized cells are re-aggregated. Frontier stats (one tiny
-    row per cell) are collected per iteration — at extreme frontiers (10M+
-    cells) switch the isin filter back to a broadcast-join variant.
+    FULLY DISTRIBUTED: the frontier stays in DataFrames end to end — the
+    per-level histogram is localCheckpoint'ed (lazy; the level's own count
+    action materializes it), hot cells are a cells-over-threshold dim the
+    points SEMI-JOIN against (AQE broadcasts it while small, falls back to
+    a shuffle join when a 100 TB histogram makes it wide), and the result
+    is the UNION of per-level done slices.  The only values that ever
+    reach the driver are one hot-cell COUNT per level — a million-cell
+    frontier never materializes as Python rows or an isin literal (the
+    round-3 bottleneck; the repo's own Pareto study showed a ~5k-literal
+    isin already costs more than shipping the rows).
     """
-    # iterative refinement; each iteration is one distributed aggregation.
-    # The root histogram is computed WITHOUT materializing the points: on
-    # uniform data (no hot cells) the whole call is then a single groupBy —
-    # the balanced path costs the same as fixed-res when refinement never
-    # triggers.  Only the HOT subset is checkpointed between iterations
-    # (lineage truncation for the recursive filter chain, but on the small
-    # slice that actually refines, not the full layer).
+    # Loop depth <= max_res - base_res (log of skew).  On uniform data (no
+    # hot cells) the whole call is one distributed aggregation — the
+    # balanced path costs the same as fixed-res when refinement never
+    # triggers.  Only the HOT point subset is eagerly checkpointed between
+    # iterations (lineage truncation on the slice that actually refines).
     pts = points.select(
         F.col(lon).alias("px"), F.col(lat).alias("py"),
         grid.cell_id_col(F.col(lon), F.col(lat), base_res).alias("cell_id"),
     )
-    cur = pts.groupBy("cell_id").count().withColumn("res", F.lit(base_res))
-    rows = cur.collect()  # frontier stats are small (one row per cell)
-    results = []
-    hot_by_res: dict[int, list[int]] = {}
+    frontier: list[DataFrame] = []
+    hot_by_res: dict[int, DataFrame] = {}
     res = base_res
     while True:
-        done = [(r.cell_id, int(r["count"]), res) for r in rows
-                if r["count"] <= max_rows_in_each_cell or res >= max_res]
-        hot = [r.cell_id for r in rows if r["count"] > max_rows_in_each_cell and res < max_res]
-        results.extend(done)
-        if not hot or res >= max_res:
+        cur = (
+            pts.groupBy("cell_id").agg(F.count("*").alias("n_rows"))
+            .withColumn("res", F.lit(res))
+            .localCheckpoint(eager=False)
+        )
+        if res >= max_res:
+            frontier.append(cur)
             break
-        hot_by_res[res] = [int(c) for c in hot]
+        hot = cur.where(F.col("n_rows") > max_rows_in_each_cell)
+        n_hot = hot.count()  # the only per-level driver-side value
+        frontier.append(cur.where(F.col("n_rows") <= max_rows_in_each_cell))
+        if n_hot == 0:
+            break
+        hot_by_res[res] = hot.select("cell_id")
         res += 1
         pts = (
-            pts.where(F.col("cell_id").isin(hot))
+            pts.join(hot_by_res[res - 1], "cell_id", "left_semi")
             .drop("cell_id")
             .withColumn("cell_id", grid.cell_id_col(F.col("px"), F.col("py"), res))
             .localCheckpoint(eager=True)
         )
-        rows = pts.groupBy("cell_id").count().withColumn("res", F.lit(res)).collect()
-    spark = points.sparkSession
-    out = spark.createDataFrame(
-        [(int(c), int(n), int(r)) for c, n, r in results],
-        "cell_id long, n_rows long, res int",
-    )
+    out = frontier[0]
+    for p in frontier[1:]:
+        out = out.unionByName(p)
+    out = out.select("cell_id", "n_rows", "res")
     if with_hot:
         return out, hot_by_res
     return out

@@ -234,8 +234,10 @@ def assign_balanced_cells(features: DataFrame, cfg: EngineConfig,
     cells, which would drop center-less area). Returns (fid, geom, ...,
     cell_id) rows; shared by balanced detect and balanced resolve.
 
-    Hot sets are driver-side lists (one per refined level, log-of-skew
-    levels); at extreme frontiers swap the isin filters for broadcast joins.
+    Hot sets are per-level DataFrame dims (log-of-skew levels): the covers
+    anti-/semi-join them, so a 100 TB frontier never rides the driver as
+    an isin literal — AQE broadcasts each dim while small and shuffles
+    when it isn't.
     """
     from resolve_overlap_and_gap_spark.operators.celljoin import (
         content_balanced_cells,
@@ -270,17 +272,23 @@ def assign_balanced_cells(features: DataFrame, cfg: EngineConfig,
     r = cfg.grid.base_resolution
     cover = cover_at(b, r)
     while True:
-        hot = hot_by_res.get(r, [])
-        if not hot:
+        hot = hot_by_res.get(r)
+        if hot is None:
             parts.append(cover)
             break
-        parts.append(cover.where(~F.col("cell_id").isin(hot)))
-        desc = cover.where(F.col("cell_id").isin(hot)).dropDuplicates(["fid"]).drop("cell_id")
+        parts.append(cover.join(hot, "cell_id", "left_anti"))
+        desc = (cover.join(hot, "cell_id", "left_semi")
+                .dropDuplicates(["fid"]).drop("cell_id"))
         child_cover = cover_at(desc, r + 1)
         parent_id = F.lit(r << grid.RES_SHIFT).cast("long").bitwiseOR(
             F.shiftright(F.col("cell_id").bitwiseAND(F.lit(zmask)), 2)
         )
-        cover = child_cover.where(parent_id.isin(hot))
+        cover = (
+            child_cover.withColumn("_parent", parent_id)
+            .join(hot.withColumnRenamed("cell_id", "_parent"),
+                  "_parent", "left_semi")
+            .drop("_parent")
+        )
         r += 1
     assigned = parts[0]
     for p in parts[1:]:

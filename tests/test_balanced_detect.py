@@ -74,3 +74,46 @@ def test_refinement_happens_and_pairs_match(spark, hot_fixture):
     )}
     for k in ab:
         assert ab[k] == pytest.approx(af[k], rel=2e-3, abs=2e-6), k
+
+@pytest.mark.spark
+def test_balanced_grid_never_reaches_the_driver(spark, monkeypatch):
+    """The frontier must stay distributed: building the content-balanced
+    grid (including forced multi-level refinement) may pull only per-level
+    COUNTS to the driver — never cell rows (collect) nor a rebuilt grid
+    (createDataFrame).  Pins the round-3 fix of the driver-side
+    collect()/isin(hot)/createDataFrame frontier."""
+    from pyspark.sql import DataFrame, SparkSession
+    from resolve_overlap_and_gap_spark.operators.celljoin import (
+        content_balanced_cells,
+    )
+
+    # uniform background + a hot cluster that refines several levels
+    pts = spark.range(0, 4000).selectExpr(
+        "cast(pmod(id * 37, 360) as double) - 180.0 + pmod(id, 7) * 1e-3 as px",
+        "cast(pmod(id * 53, 170) as double) - 85.0 + pmod(id, 5) * 1e-3 as py",
+    ).unionByName(
+        spark.range(0, 800).selectExpr(
+            "10.0 + pmod(id, 40) * 1e-4 as px", "50.0 + pmod(id, 37) * 1e-4 as py"
+        )
+    ).localCheckpoint()
+
+    def no_collect(self, *a, **k):
+        raise AssertionError("balanced grid collected rows to the driver")
+
+    def no_create(self, *a, **k):
+        raise AssertionError("balanced grid rebuilt a DataFrame driver-side")
+
+    monkeypatch.setattr(DataFrame, "collect", no_collect)
+    monkeypatch.setattr(DataFrame, "toPandas", no_collect)
+    monkeypatch.setattr(SparkSession, "createDataFrame", no_create)
+    cells, hot = content_balanced_cells(pts, 4, 12, 60, with_hot=True)
+    monkeypatch.undo()
+
+    assert hot, "fixture must force refinement"
+    rows = cells.collect()
+    assert max(r.n_rows for r in rows) <= 60 or max(r.res for r in rows) == 12
+    # the frontier is a proper partition: every point lands in exactly one cell
+    from resolve_overlap_and_gap_spark.operators.celljoin import (
+        assign_to_balanced_cells,
+    )
+    assert assign_to_balanced_cells(pts, cells, 12).count() == pts.count()
