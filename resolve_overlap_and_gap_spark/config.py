@@ -40,9 +40,14 @@ class EngineConfig:
     chaikins_iterations: int = 0      # smoothing off by default
     utm: bool = False                 # planar (True) vs geographic degrees (False)
     geodesic_measure: bool = False    # when True (and utm=False): sliver/min
-                                      # areas are m^2 on the sphere, the
-                                      # reference's ST_Area(g,true) path
+                                      # areas are m^2, the reference's
+                                      # ST_Area(g,true) path
                                       # (…utils/function_01_get_face_area.sql:24-28)
+    geodesic_spheroid: bool = True    # geodesic measure figure: WGS84
+                                      # spheroid (reference/PostGIS parity;
+                                      # authalic q-series) vs mean-radius
+                                      # sphere (False — up to ~0.5% area
+                                      # divergence, the round-3 behavior)
     noding_max_iter: int = 8          # snap-noding fixpoint budget; features
                                       # still interacting after this many
                                       # rounds are QUARANTINED (reference

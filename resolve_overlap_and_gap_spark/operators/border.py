@@ -209,14 +209,16 @@ def _union_components(polys: list[tuple[int, list[np.ndarray]]]) -> list[Face]:
 
 def _face_area(f: Face, g: float, cfg: EngineConfig) -> float:
     """Decision area of one face in the configured measure (planar units^2,
-    or spherical m^2 when cfg.geodesic_measure and not cfg.utm — matching
-    resolve.face_measure_areas / reference ST_Area(geo, true))."""
+    or geodesic m^2 — WGS84 spheroid by default — when cfg.geodesic_measure
+    and not cfg.utm, matching resolve.face_measure_areas / reference
+    ST_Area(geo, true))."""
     if cfg.geodesic_measure and not cfg.utm:
         from resolve_overlap_and_gap_spark.geom.geodesic import polygon_area_m2
 
         return polygon_area_m2(
             [f.shell.astype(np.float64) * g]
-            + [h.astype(np.float64) * g for h in f.holes]
+            + [h.astype(np.float64) * g for h in f.holes],
+            spheroid=cfg.geodesic_spheroid,
         )
     return f.area2 / 2.0 * g * g
 
@@ -409,7 +411,8 @@ def _geodesic_area_udf(cfg: EngineConfig):
         vals = np.empty(len(geoms), dtype=np.float64)
         for i, b in enumerate(geoms):
             vals[i] = sum(
-                polygon_area_m2([np.asarray(r, np.float64) for r in rings])
+                polygon_area_m2([np.asarray(r, np.float64) for r in rings],
+                                spheroid=cfg.geodesic_spheroid)
                 for rings in wkb.load_polygons(bytes(b))
             )
         return pd.Series(vals)

@@ -180,7 +180,8 @@ def face_measure_areas(faces, g: float, cfg: EngineConfig) -> tuple[list[float],
         areas = [
             polygon_area_m2(
                 [f.shell.astype(np.float64) * g]
-                + [h.astype(np.float64) * g for h in f.holes]
+                + [h.astype(np.float64) * g for h in f.holes],
+                spheroid=cfg.geodesic_spheroid,
             )
             for f in faces
         ]

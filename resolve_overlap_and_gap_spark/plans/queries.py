@@ -1136,11 +1136,13 @@ def q_healed_strip_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The healed pipeline with GEODESIC decision areas (the reference's
     utm=false + ST_Area(geo, true) path): every sliver/min-area decision —
     per-cell merge, live/kill split, reassembly finalize — runs in
-    spherical m^2, while reported areas stay planar deg^2, so the closed
-    form is unchanged.  min_area 24e6 m^2 separates the gap (20.3-22.3e6
-    m^2 across the layout's latitudes) from the smallest feature face
-    (caps, 25.9-28.4e6 m^2) at EVERY cluster latitude, so the geodesic
-    measure must agree with the planar closed form cluster by cluster."""
+    m^2 on the WGS84 SPHEROID (authalic q-series; cfg.geodesic_spheroid
+    default — sphere ratio 0.995-1.000 at the layout's latitudes), while
+    reported areas stay planar deg^2, so the closed form is unchanged.
+    min_area 24e6 m^2 separates the gap (20.2-22.3e6 m^2 spheroid across
+    the layout's latitudes) from the smallest feature face (caps,
+    25.8-28.4e6 m^2) at EVERY cluster latitude, so the geodesic measure
+    must agree with the planar closed form cluster by cluster."""
     from resolve_overlap_and_gap_spark.config import EngineConfig
     from resolve_overlap_and_gap_spark.operators.border import (
         border_gap_merge,

@@ -46,3 +46,47 @@ def test_distance_symmetry_and_zero():
     d1 = g.distance_m(10.0, 59.0, 11.0, 60.0)
     d2 = g.distance_m(11.0, 60.0, 10.0, 59.0)
     assert float(d1) == pytest.approx(float(d2))
+
+# ---------------------------------------------------------------- spheroid
+def test_spheroid_total_area_is_wgs84():
+    """Equator ring -> hemisphere; x2 must hit the published WGS84 surface
+    area 510.0656e12 m^2 (the authalic q-series is exact for bands)."""
+    eq = np.array([[0, 0], [90, 0], [180, 0], [-90, 0]], float)
+    hemi = g.ring_area_m2(eq, spheroid=True)
+    assert 2 * hemi == pytest.approx(510.0656e12, rel=1e-5)
+
+
+def test_spheroid_vs_sphere_error_bound():
+    """Documented divergence: mean-radius sphere areas differ from the
+    spheroid by up to ~0.8% (latitude-dependent), never more than 1% and
+    never zero away from the crossover band (~30-45 deg)."""
+    for lat in (0, 15, 30, 45, 60, 75):
+        box = np.array([[10, lat], [10.1, lat], [10.1, lat + 0.1],
+                        [10, lat + 0.1]], float)
+        ratio = g.ring_area_m2(box, spheroid=True) / g.ring_area_m2(box)
+        assert 0.99 < ratio < 1.01
+    eq_ratio = (g.ring_area_m2(np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float),
+                               spheroid=True)
+                / g.ring_area_m2(np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float)))
+    assert abs(eq_ratio - 1.0) > 2e-3  # genuinely a different figure
+
+
+def test_spheroid_distance_known_lines():
+    """Lambert reduced-latitude formula against published geodesics:
+    meridian quadrant 10001965.73 m, equator quadrant a*pi/2, and the
+    classic Vincenty test line (Flinders Peak - Buninyong, 54972.271 m)."""
+    assert float(g.distance_m(0, 0, 0, 90, spheroid=True)) == pytest.approx(
+        10001965.73, abs=10.0)
+    assert float(g.distance_m(0, 0, 90, 0, spheroid=True)) == pytest.approx(
+        10018754.17, abs=0.01)
+    assert float(g.distance_m(144.424868, -37.951033,
+                              143.926496, -37.652821,
+                              spheroid=True)) == pytest.approx(54972.271, abs=1.0)
+    assert float(g.distance_m(5.0, 52.0, 5.0, 52.0, spheroid=True)) == 0.0
+
+
+def test_spheroid_length_matches_distance_sum():
+    line = np.array([[0, 0], [1, 0.5], [2, 1.5]], float)
+    total = (float(g.distance_m(0, 0, 1, 0.5, spheroid=True))
+             + float(g.distance_m(1, 0.5, 2, 1.5, spheroid=True)))
+    assert g.line_length_m(line, spheroid=True) == pytest.approx(total)
