@@ -209,12 +209,19 @@ FEATURE_SCHEMA = T.StructType([
 
 
 def synthesize_media(spark: SparkSession, n: int, partitions: int = 8,
-                     fmt: str = "mixed") -> DataFrame:
+                     fmt: str = "mixed", content: str = "noise") -> DataFrame:
     """Deterministic media table with seeded pixels, generated JVM-side
     except the payload bytes (Arrow-batched).  fmt: 'fake' (raw header +
     bytes), 'png' (real PNG streams through encode_png), or 'mixed'
     (odd media_ids PNG, even fake — the default, so every pipeline over
-    this table exercises the real decoder and the plumbing format)."""
+    this table exercises the real decoder and the plumbing format).
+
+    content: 'noise' (seeded RNG pixels) or 'gradient' — pixel value
+    x + y + (media_id % 96), identical channels; never wraps mod 256 at
+    the 16-80 px sizes, so the decoded image MEAN has the closed form
+    (w-1)/2 + (h-1)/2 + media_id % 96 and the whole encode -> decode ->
+    feature pipeline becomes SQL-oracle-comparable (multimodal_invariants)
+    while still exercising non-trivial Sub/Up/Average/Paeth filters."""
     base = spark.range(0, n, 1, partitions).select(
         F.col("id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -226,17 +233,23 @@ def synthesize_media(spark: SparkSession, n: int, partitions: int = 8,
     def payload(mid: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
         out = []
         for m, ww, hh in zip(mid, w, h):
-            rng = np.random.default_rng(int(m))
-            px = rng.integers(0, 256, int(ww) * int(hh) * 3, dtype=np.uint8)
+            ww, hh = int(ww), int(hh)
+            if content == "gradient":
+                g = (np.arange(hh, dtype=np.int32)[:, None]
+                     + np.arange(ww, dtype=np.int32)[None, :]
+                     + int(m) % 96).astype(np.uint8)
+                px = np.repeat(g[:, :, None], 3, axis=2)
+            else:
+                rng = np.random.default_rng(int(m))
+                px = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
             if fmt == "png" or (fmt == "mixed" and int(m) % 2 == 1):
                 # per-IMAGE filter 0-4 (media_id % 5): the corpus exercises
                 # every unfilter path incl. Average/Paeth, matching real
                 # crawl PNGs (photographic content is typically one filter
                 # for the whole image — the wavefront's long-run case)
-                out.append(encode_png(px.reshape(int(hh), int(ww), 3),
-                                      row_filters=int(m) % 5))
+                out.append(encode_png(px, row_filters=int(m) % 5))
             else:
-                hdr = struct.pack(_HDR_FMT, _MAGIC, int(ww), int(hh), 3)
+                hdr = struct.pack(_HDR_FMT, _MAGIC, ww, hh, 3)
                 out.append(hdr + px.tobytes())
         return pd.Series(out)
 

@@ -1755,6 +1755,44 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-EXACT end-to-end oracle for the multimodal pipeline: gradient
+    payloads (pixel = x + y + media_id % 96, never wrapping at 16-80 px)
+    go through the REAL PNG encoder (per-image filter media_id % 5, so
+    Sub/Up/Average/Paeth all run on non-trivial content), the stdlib
+    zlib+wavefront decoder, and the mapInPandas feature kernel; the
+    decoded mean has the closed form (w-1)/2 + (h-1)/2 + media_id % 96
+    — exact in binary floating point (dyadic rational), so mean*100
+    rounds to an exact bigint on both sides.  Complements the rows-only
+    multimodal_features run on seeded-noise payloads."""
+    from resolve_overlap_and_gap_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    n = _read(spark, sf_dir, "documents").count()
+    media = synthesize_media(spark, n,
+                             partitions=spark.sparkContext.defaultParallelism,
+                             fmt="png", content="gradient")
+    return extract_features(media).selectExpr(
+        "media_id", "width", "height", "channels",
+        "cast(round(mean_byte * 100.0) as bigint) as mean_byte_x100",
+    )
+
+
+def o_multimodal_invariants() -> str:
+    return """
+        with m as (select row_number() over () - 1 as k from documents)
+        select cast(k as bigint) as media_id,
+               cast(16 + (k * 37) % 64 as int) as width,
+               cast(16 + (k * 53) % 64 as int) as height,
+               cast(3 as int) as channels,
+               cast(50 * (15 + (k * 37) % 64) + 50 * (15 + (k * 53) % 64)
+                    + 100 * (k % 96) as bigint) as mean_byte_x100
+        from m
+    """
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors (hash-seeded centroids + Lloyd
     refinement + nprobe bucket search). Approximate by design — rows-only
@@ -2283,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "multimodal_features": q_multimodal,
+        "multimodal_invariants": q_multimodal_invariants,
         "detect_polygons": q_detect_polygons,
         "resolve_polygons": q_resolve_polygons,
         "dissolve_polygons": q_dissolve_polygons,
@@ -2351,6 +2390,7 @@ def oracle_sql() -> dict[str, str]:
         "mercator": o_mercator(),
         "interval_count": o_interval_count(),
         "pip_polygon": o_pip_polygon(),
+        "multimodal_invariants": o_multimodal_invariants(),
         "detect_boxes": o_detect_boxes(),
         "detect_boxes_balanced": o_detect_boxes(),
         "clean_invariants": o_clean_invariants(),
