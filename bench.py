@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "cosine_topk",
     "lsh_pairs",
     "simhash_neardup",
+    "simhash_clusters",    # pair-explosion guard: one row/doc via CC
     "top_terms",
     "bpe_tokens",
     "url_canon",
