@@ -2,13 +2,19 @@
 with typed metadata (training-data pipeline addition).
 
 The Spark-side plumbing — schema, Arrow batch shape, mapInPandas iterator
-contract, partition sizing — is real and tested.  PNG (the most common
-crawl image format) decodes for REAL via a stdlib-only decoder below
-(zlib inflate + scanline unfiltering incl. Paeth; 8-bit gray/GA/RGB/RGBA,
-non-interlaced) — no PIL/cv2 needed.  JPEG/video and exotic PNG variants
-(16-bit, palette, interlaced) still raise NotImplementedError at the
-`_decode_image` boundary, exactly where a PIL/ffmpeg call would slot in;
-the deterministic FAKEIMG format remains for plumbing tests.
+contract, partition sizing — is real and tested, and so are the codecs:
+
+* PNG via a stdlib-only decoder (zlib inflate + scanline unfiltering with
+  the antidiagonal-wavefront Average/Paeth path; 8-bit gray/GA/RGB/RGBA,
+  non-interlaced),
+* baseline JPEG via operators/jpeg.py (T.81 sequential DCT, Annex K
+  tables, 4:4:4 — the dominant crawl image format decodes for real),
+* WAV/PCM16 audio via the RIFF parser below.
+
+Exotic variants (progressive JPEG, 16-bit/palette/interlaced PNG,
+non-PCM WAV) and video raise NotImplementedError at the decode boundary,
+exactly where a PIL/ffmpeg call would slot in; the deterministic FAKEIMG
+format remains for plumbing tests.
 """
 
 from __future__ import annotations
@@ -190,6 +196,109 @@ def _unfilter_wavefront(block: np.ndarray, fts: np.ndarray,
         out[rs + 1, ps + 1] = (b3[rs, ps] + pred) & 0xFF
     return out[1:, 1:].reshape(R, stride).astype(np.uint8)
 
+# ------------------------------------------------------------ audio (WAV)
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE writer (PCM 16-bit little-endian): enough to
+    synthesize crawl-like audio payloads without an audio library.
+    samples: int16 (n,) mono or (n, ch)."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 decoder (fully vectorized: header walk + one
+    frombuffer).  Non-PCM / non-16-bit raise NotImplementedError — the
+    documented audio codec boundary (plug ffmpeg for mp3/ogg there)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, rate, ch, data = 12, None, None, None
+    while pos + 8 <= len(buf):
+        tag = buf[pos:pos + 4]
+        (ln,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)   # chunks are word-aligned
+        if tag == b"fmt ":
+            afmt, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if afmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV variant unsupported (fmt={afmt}, bits={bits}); "
+                    "only PCM16 — plug ffmpeg/soundfile here")
+        elif tag == b"data":
+            data = body
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return np.frombuffer(data, "<i2").reshape(-1, ch), int(rate)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("rate", T.IntegerType()),
+    T.StructField("peak", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zero_crossings", T.LongType()),
+])
+
+
+def synthesize_audio(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+    """Deterministic audio table: per media_id a +/-A square wave (PCM16
+    mono) with amplitude A = 1000 + id % 2000, half-period 8 + id % 16 and
+    length 2048 + id % 1024 — so peak == rms == A exactly and the
+    zero-crossing count has the closed form floor((len-1)/half): the
+    decode + feature pipeline is SQL-oracle-comparable (audio_invariants)."""
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        (F.pmod(F.col("id"), F.lit(2000)) + 1000).cast("int").alias("amp"),
+        (F.pmod(F.col("id"), F.lit(16)) + 8).cast("int").alias("half"),
+        (F.pmod(F.col("id"), F.lit(1024)) + 2048).cast("int").alias("length"),
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def payload(amp: pd.Series, half: pd.Series, length: pd.Series) -> pd.Series:
+        out = []
+        for a, hp, ln in zip(amp, half, length):
+            i = np.arange(int(ln), dtype=np.int64)
+            s = (int(a) * (1 - 2 * ((i // int(hp)) % 2))).astype(np.int16)
+            out.append(encode_wav(s))
+        return pd.Series(out)
+
+    return base.select("media_id", "kind",
+                       payload("amp", "half", "length").alias("payload"))
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode + audio feature extraction over mapInPandas (same Arrow-batch
+    shape as extract_features): sample count, channels, rate, peak, RMS,
+    zero crossings — all numpy-vectorized per payload."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                s, rate = _decode_wav(bytes(buf))
+                x = s.astype(np.float64)
+                rms = float(np.sqrt(np.mean(x * x)))
+                zc = int(np.count_nonzero(s[1:, 0].astype(np.int64)
+                                          * s[:-1, 0].astype(np.int64) < 0))
+                rows.append((int(mid), s.shape[0], s.shape[1], rate,
+                             int(np.abs(s).max(initial=0)), rms, zc))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "channels", "rate",
+                               "peak", "rms", "zero_crossings"])
+
+    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("kind", T.StringType()),
@@ -212,9 +321,10 @@ def synthesize_media(spark: SparkSession, n: int, partitions: int = 8,
                      fmt: str = "mixed", content: str = "noise") -> DataFrame:
     """Deterministic media table with seeded pixels, generated JVM-side
     except the payload bytes (Arrow-batched).  fmt: 'fake' (raw header +
-    bytes), 'png' (real PNG streams through encode_png), or 'mixed'
-    (odd media_ids PNG, even fake — the default, so every pipeline over
-    this table exercises the real decoder and the plumbing format).
+    bytes), 'png' / 'jpeg' (real codec streams), or 'mixed' (the default
+    crawl-like blend: media_id % 3 == 0 fake, == 1 PNG, == 2 baseline
+    JPEG — every pipeline over this table pays real decode costs for
+    both major image formats).
 
     content: 'noise' (seeded RNG pixels) or 'gradient' — pixel value
     x + y + (media_id % 96), identical channels; never wraps mod 256 at
@@ -242,12 +352,18 @@ def synthesize_media(spark: SparkSession, n: int, partitions: int = 8,
             else:
                 rng = np.random.default_rng(int(m))
                 px = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
-            if fmt == "png" or (fmt == "mixed" and int(m) % 2 == 1):
+            if fmt == "png" or (fmt == "mixed" and int(m) % 3 == 1):
                 # per-IMAGE filter 0-4 (media_id % 5): the corpus exercises
                 # every unfilter path incl. Average/Paeth, matching real
                 # crawl PNGs (photographic content is typically one filter
                 # for the whole image — the wavefront's long-run case)
                 out.append(encode_png(px, row_filters=int(m) % 5))
+            elif fmt == "jpeg" or (fmt == "mixed" and int(m) % 3 == 2):
+                from resolve_overlap_and_gap_spark.operators.jpeg import (
+                    encode_jpeg,
+                )
+
+                out.append(encode_jpeg(px, quality=85 + int(m) % 11))
             else:
                 hdr = struct.pack(_HDR_FMT, _MAGIC, ww, hh, 3)
                 out.append(hdr + px.tobytes())
@@ -257,17 +373,22 @@ def synthesize_media(spark: SparkSession, n: int, partitions: int = 8,
 
 
 def _decode_image(buf: bytes) -> np.ndarray:
-    """Format sniff + decode: real PNG via the stdlib decoder, FAKEIMG via
-    the header parse; JPEG/video/etc. raise at this boundary (plug
-    PIL/ffmpeg here when the environment has them)."""
+    """Format sniff + decode: PNG via the stdlib decoder, baseline JPEG
+    via operators/jpeg.py, FAKEIMG via the header parse; video and
+    non-baseline variants raise at this boundary (plug PIL/ffmpeg here
+    when the environment has them)."""
     if buf[:8] == PNG_SIG:
         return _decode_png(buf)
+    if buf[:2] == b"\xff\xd8":
+        from resolve_overlap_and_gap_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(buf)
     if buf[:8] == _MAGIC:
         _, w, h, c = struct.unpack_from(_HDR_FMT, buf, 0)
         arr = np.frombuffer(buf, dtype=np.uint8, offset=_HDR_SIZE, count=w * h * c)
         return arr.reshape(h, w, c)
     raise NotImplementedError(
-        "unsupported media format (JPEG/video need PIL/ffmpeg; plug them here)"
+        "unsupported media format (video/exotic codecs need PIL/ffmpeg)"
     )
 
 

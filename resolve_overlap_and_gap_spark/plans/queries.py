@@ -1780,6 +1780,42 @@ def q_multimodal_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-EXACT oracle for the AUDIO pipeline: deterministic +/-A square
+    waves through the RIFF/WAVE PCM16 encoder, the vectorized decoder and
+    the mapInPandas feature kernel.  peak == rms == A exactly (every
+    sample is +/-A; sqrt of the exact integer A^2 is exact in IEEE) and
+    zero crossings = floor((len-1)/half) — all closed-form in SQL."""
+    from resolve_overlap_and_gap_spark.operators.multimodal import (
+        audio_features,
+        synthesize_audio,
+    )
+
+    n = _read(spark, sf_dir, "documents").count()
+    media = synthesize_audio(spark, n,
+                             partitions=spark.sparkContext.defaultParallelism)
+    return audio_features(media).selectExpr(
+        "media_id", "n_samples", "channels", "rate", "peak",
+        "cast(round(rms * 100.0) as bigint) as rms_x100",
+        "zero_crossings",
+    )
+
+
+def o_audio_invariants() -> str:
+    return """
+        with m as (select row_number() over () - 1 as k from documents)
+        select cast(k as bigint) as media_id,
+               cast(2048 + k % 1024 as int) as n_samples,
+               cast(1 as int) as channels,
+               cast(16000 as int) as rate,
+               cast(1000 + k % 2000 as int) as peak,
+               cast((1000 + k % 2000) * 100 as bigint) as rms_x100,
+               cast((2048 + k % 1024 - 1) // (8 + k % 16) as bigint)
+                 as zero_crossings
+        from m
+    """
+
+
 def o_multimodal_invariants() -> str:
     return """
         with m as (select row_number() over () - 1 as k from documents)
@@ -2322,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "multimodal_features": q_multimodal,
         "multimodal_invariants": q_multimodal_invariants,
+        "audio_invariants": q_audio_invariants,
         "detect_polygons": q_detect_polygons,
         "resolve_polygons": q_resolve_polygons,
         "dissolve_polygons": q_dissolve_polygons,
@@ -2391,6 +2428,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_count": o_interval_count(),
         "pip_polygon": o_pip_polygon(),
         "multimodal_invariants": o_multimodal_invariants(),
+        "audio_invariants": o_audio_invariants(),
         "detect_boxes": o_detect_boxes(),
         "detect_boxes_balanced": o_detect_boxes(),
         "clean_invariants": o_clean_invariants(),

@@ -1,0 +1,118 @@
+"""Baseline JPEG codec (operators/jpeg.py) and WAV/PCM audio path:
+round-trip accuracy bounds, boundary rejections, and the Spark feature
+pipelines over both."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from resolve_overlap_and_gap_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from resolve_overlap_and_gap_spark.operators.multimodal import (
+    _decode_wav,
+    audio_features,
+    encode_wav,
+    extract_features,
+    synthesize_audio,
+    synthesize_media,
+)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float(10 * np.log10(255.0 ** 2 / mse)) if mse else np.inf
+
+
+def test_jpeg_constant_image_exact():
+    img = np.full((24, 40, 3), 77, np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 90))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) == 0
+
+
+def test_jpeg_gradient_high_quality_tight():
+    y, x = np.mgrid[0:64, 0:48]
+    img = np.stack([(x * 2) % 256, (y * 2) % 256, (x + y) % 256],
+                   axis=2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 95))
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_jpeg_noise_psnr_and_sizes():
+    rng = np.random.default_rng(1)
+    for shape in ((56, 72, 3), (17, 9, 3), (8, 8, 3), (1, 1, 3)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 90))
+        assert out.shape == img.shape
+        assert _psnr(out, img) > 25.0   # noise is JPEG's worst case
+
+
+def test_jpeg_grayscale_roundtrip():
+    rng = np.random.default_rng(2)
+    g = rng.integers(0, 256, (33, 21), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(g, 92))
+    assert out.shape == (33, 21, 1)
+    assert _psnr(out[:, :, 0], g) > 30.0
+
+
+def test_jpeg_quality_monotone_size():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    sizes = [len(encode_jpeg(img, q)) for q in (30, 60, 90)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_jpeg_rejects_non_baseline():
+    sof2 = (b"\xff\xd8" + struct.pack(">HH", 0xFFC2, 13)
+            + struct.pack(">BHHB", 8, 4, 4, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sof2)
+    dri = (b"\xff\xd8" + struct.pack(">HHH", 0xFFDD, 4, 8))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(dri)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"nope")
+
+
+def test_wav_roundtrip_and_rejection():
+    rng = np.random.default_rng(4)
+    s = rng.integers(-32768, 32767, (777, 2)).astype(np.int16)
+    d, rate = _decode_wav(encode_wav(s, 44100))
+    assert rate == 44100 and np.array_equal(d, s)
+    # 8-bit WAV rejected at the fmt chunk
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError):
+        _decode_wav(buf)
+
+
+@pytest.mark.spark
+def test_jpeg_payloads_through_feature_pipeline(spark):
+    """fmt='jpeg' media decodes through mapInPandas; features close to the
+    'fake' (lossless) features of the same seeded pixels."""
+    def feats(fmt):
+        media = synthesize_media(spark, 18, partitions=2, fmt=fmt)
+        return {r.media_id: r for r in extract_features(media, grid=4).collect()}
+
+    fj, ff = feats("jpeg"), feats("fake")
+    assert set(fj) == set(ff)
+    for mid in fj:
+        assert (fj[mid].width, fj[mid].height, fj[mid].channels) == \
+               (ff[mid].width, ff[mid].height, ff[mid].channels)
+        # lossy but close: noise at q85-95 keeps the global mean within ~2
+        assert abs(fj[mid].mean_byte - ff[mid].mean_byte) < 2.5
+
+
+@pytest.mark.spark
+def test_audio_features_closed_form(spark):
+    out = {r.media_id: r for r in
+           audio_features(synthesize_audio(spark, 40, partitions=2)).collect()}
+    assert len(out) == 40
+    for k, r in out.items():
+        amp, half, length = 1000 + k % 2000, 8 + k % 16, 2048 + k % 1024
+        assert r.n_samples == length and r.channels == 1 and r.rate == 16000
+        assert r.peak == amp and r.rms == float(amp)
+        assert r.zero_crossings == (length - 1) // half

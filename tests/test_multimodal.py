@@ -165,8 +165,15 @@ def test_png_random_filter_sequences():
 
 
 def test_decode_rejects_unsupported_formats():
+    # progressive JPEG (SOF2): parse-level rejection, not silent corruption
+    sof2 = (b"\xff\xd8"
+            + struct.pack(">HH", 0xFFC2, 13)
+            + struct.pack(">BHHB", 8, 4, 4, 1) + bytes([1, 0x11, 0]))
     with pytest.raises(NotImplementedError):
-        _decode_image(b"\xff\xd8\xff\xe0" + b"0" * 100)  # JPEG SOI
+        _decode_image(sof2)
+    # unknown container magic (video etc.)
+    with pytest.raises(NotImplementedError):
+        _decode_image(b"\x00\x00\x00\x18ftypmp42" + b"0" * 100)
     # 16-bit PNG: valid signature, unsupported depth
     ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
     buf = (PNG_SIG + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
