@@ -45,7 +45,10 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     e = edges.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.distinct().localCheckpoint()
+    # NO distinct here: duplicate edges are harmless to the min-aggregation
+    # and the contracted-graph distinct below runs on the tiny edge set —
+    # skipping it saves a full shuffle of the heavy pair table
+    sym = sym.localCheckpoint()
     rep = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
         F.col("u").alias("id"), F.least(F.col("u"), F.col("mn")).alias("rep")
     ).localCheckpoint()

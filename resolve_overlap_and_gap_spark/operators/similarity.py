@@ -203,9 +203,10 @@ def lsh_ann_topk(emb: DataFrame, k: int, dim: int, n_planes: int | None = None,
     """ANN all-pairs: candidates share an LSH bucket; exact cosine re-rank in
     the bucket. One equi-join on bucket (shuffle); skewed buckets handled by
     AQE skew-join.  n_planes defaults to auto_planes(corpus size) so the
-    per-bucket quadratic stays bounded as the corpus grows (with_lsh_bucket
-    checkpoints the input once for the count + the 3-pass self-join)."""
-    b = with_lsh_bucket(emb, dim, n_planes, seed)
+    per-bucket quadratic stays bounded as the corpus grows.  The BUCKETED
+    frame is checkpointed (not just the input): the self-join would
+    otherwise run the projection matmul once per branch."""
+    b = with_lsh_bucket(emb, dim, n_planes, seed).localCheckpoint()
     a = b.select(F.col("pid").alias("qid"), F.col("vec").alias("qvec"), "bucket")
     j = b.join(a, "bucket").where(F.col("pid") != F.col("qid"))
     scored = j.withColumn("sim", _dot("vec", "qvec") / (_norm("vec") * _norm("qvec")))
