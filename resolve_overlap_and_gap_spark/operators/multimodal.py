@@ -299,6 +299,128 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
+# ------------------------------------------------------- video (MJPEG/AVI)
+def encode_avi_mjpeg(frames: list, fps: int = 10) -> bytes:
+    """Minimal AVI writer with MJPEG-compressed frames (each frame is an
+    independent baseline JPEG via operators/jpeg.py) — the classic
+    crawl-era video container whose frames seek in O(1)."""
+    from resolve_overlap_and_gap_spark.operators.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("no frames")
+    h, w = np.asarray(frames[0]).shape[:2]
+    payloads = [encode_jpeg(np.asarray(f, np.uint8), quality=90) for f in frames]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack("<IIIIIIIIIIIIII",
+                       1000000 // fps, 0, 0, 0x10, len(payloads), 0, 1, 0,
+                       w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII",
+            0, 0, 0, 0, 1, fps, 0, len(payloads), 0, 0xFFFFFFFF, 0)
+            + struct.pack("<HHHH", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24,
+                       0x47504A4D, w * h * 3, 0, 0, 0, 0)  # 'MJPG'
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_frame_chunks(buf: bytes) -> tuple[list[tuple[int, int]], int]:
+    """Walk the RIFF tree -> ([(offset, length) per frame], fps).  Only
+    offsets are collected, so sampling every Nth frame decodes ONLY the
+    sampled frames (real container seek, not decode-then-drop).  Non-MJPEG
+    streams raise NotImplementedError (H.264 etc. need ffmpeg)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    frames: list[tuple[int, int]] = []
+    fps = 0
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps
+        while pos + 8 <= end:
+            tag = buf[pos:pos + 4]
+            (ln,) = struct.unpack_from("<I", buf, pos + 4)
+            body_at = pos + 8
+            if tag == b"LIST":
+                walk(body_at + 4, body_at + ln)
+            elif tag == b"strh":
+                if buf[body_at:body_at + 4] == b"vids":
+                    if buf[body_at + 4:body_at + 8] not in (b"MJPG", b"mjpg"):
+                        raise NotImplementedError(
+                            "non-MJPEG video stream (H.264/VP9 need ffmpeg)")
+                    scale, rate = struct.unpack_from("<II", buf, body_at + 20)
+                    fps = rate // max(scale, 1)
+            elif tag in (b"00dc", b"00db"):
+                frames.append((body_at, ln))
+            pos = body_at + ln + (ln & 1)
+
+    walk(12, 12 + struct.unpack_from("<I", buf, 4)[0])
+    return frames, fps
+
+
+VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_byte", T.DoubleType()),
+])
+
+
+def synthesize_video(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+    """Deterministic MJPEG/AVI table: per media_id, 4 + id % 4 constant-
+    color 32x24 frames with pixel value (id*7 + frame*11) % 256.  A
+    constant block is DC-only and reconstructs EXACTLY at quality 90
+    (quant step 3 -> max DC error 3/16 < 1/2), so sampled frame means are
+    integers with a SQL closed form (video_invariants)."""
+    base = spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("media_id"), F.lit("video").alias("kind"))
+
+    @F.pandas_udf(T.BinaryType())
+    def payload(mid: pd.Series) -> pd.Series:
+        out = []
+        for m in mid:
+            k = int(m)
+            frames = [np.full((24, 32, 3), (k * 7 + f * 11) % 256, np.uint8)
+                      for f in range(4 + k % 4)]
+            out.append(encode_avi_mjpeg(frames, fps=10))
+        return pd.Series(out)
+
+    return base.select("media_id", "kind", payload("media_id").alias("payload"))
+
+
+def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
+    """REAL frame sampling over MJPEG/AVI payloads: the RIFF walk yields
+    frame offsets, so only every Nth frame is JPEG-decoded (container
+    seek semantics — the ffmpeg '-vf select' shape) inside mapInPandas."""
+    from resolve_overlap_and_gap_spark.operators.jpeg import decode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(buf)
+                chunks, _fps = _avi_frame_chunks(b)
+                for fi in range(0, len(chunks), every):
+                    off, ln = chunks[fi]
+                    img = decode_jpeg(b[off:off + ln])
+                    rows.append((int(mid), fi, img.shape[1], img.shape[0],
+                                 float(img.mean())))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame", "width", "height",
+                               "mean_byte"])
+
+    return media.mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("kind", T.StringType()),

@@ -1816,6 +1816,42 @@ def o_audio_invariants() -> str:
     """
 
 
+def q_video_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-EXACT oracle for the VIDEO pipeline: MJPEG/AVI payloads
+    (4 + id % 4 constant 32x24 frames, pixel (id*7 + frame*11) % 256)
+    through the RIFF walk + every-2nd-frame seek + baseline JPEG decode.
+    A constant block is DC-only and reconstructs exactly at quality 90,
+    so sampled frame means are closed-form integers in SQL."""
+    from resolve_overlap_and_gap_spark.operators.multimodal import (
+        synthesize_video,
+        video_frame_sample,
+    )
+
+    n = _read(spark, sf_dir, "documents").count()
+    media = synthesize_video(spark, n,
+                             partitions=spark.sparkContext.defaultParallelism)
+    return video_frame_sample(media, every=2).selectExpr(
+        "media_id", "frame", "width", "height",
+        "cast(round(mean_byte * 100.0) as bigint) as mean_byte_x100",
+    )
+
+
+def o_video_invariants() -> str:
+    return """
+        with m as (select row_number() over () - 1 as k from documents),
+        f as (select k, i as frame from m
+              cross join (values (0), (2), (4), (6)) v(i)
+              where i < 4 + k % 4)
+        select cast(k as bigint) as media_id,
+               cast(frame as int) as frame,
+               cast(32 as int) as width,
+               cast(24 as int) as height,
+               cast(((k * 7 + frame * 11) % 256) * 100 as bigint)
+                 as mean_byte_x100
+        from f
+    """
+
+
 def o_multimodal_invariants() -> str:
     return """
         with m as (select row_number() over () - 1 as k from documents)
@@ -2359,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal,
         "multimodal_invariants": q_multimodal_invariants,
         "audio_invariants": q_audio_invariants,
+        "video_invariants": q_video_invariants,
         "detect_polygons": q_detect_polygons,
         "resolve_polygons": q_resolve_polygons,
         "dissolve_polygons": q_dissolve_polygons,
@@ -2429,6 +2466,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_polygon": o_pip_polygon(),
         "multimodal_invariants": o_multimodal_invariants(),
         "audio_invariants": o_audio_invariants(),
+        "video_invariants": o_video_invariants(),
         "detect_boxes": o_detect_boxes(),
         "detect_boxes_balanced": o_detect_boxes(),
         "clean_invariants": o_clean_invariants(),

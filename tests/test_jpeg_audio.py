@@ -116,3 +116,58 @@ def test_audio_features_closed_form(spark):
         assert r.n_samples == length and r.channels == 1 and r.rate == 16000
         assert r.peak == amp and r.rms == float(amp)
         assert r.zero_crossings == (length - 1) // half
+
+
+def test_avi_mjpeg_container_roundtrip():
+    from resolve_overlap_and_gap_spark.operators.multimodal import (
+        _avi_frame_chunks,
+        encode_avi_mjpeg,
+    )
+    from resolve_overlap_and_gap_spark.operators.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+              for _ in range(5)]
+    buf = encode_avi_mjpeg(frames, fps=25)
+    chunks, fps = _avi_frame_chunks(buf)
+    assert fps == 25 and len(chunks) == 5
+    for f, (off, ln) in enumerate(chunks):
+        out = decode_jpeg(buf[off:off + ln])
+        assert out.shape == (16, 24, 3)
+        mse = np.mean((out.astype(float) - frames[f].astype(float)) ** 2)
+        assert 10 * np.log10(255 ** 2 / mse) > 25.0
+
+
+def test_avi_rejects_non_mjpeg():
+    from resolve_overlap_and_gap_spark.operators.multimodal import (
+        _avi_frame_chunks,
+    )
+
+    strh = b"vids" + b"H264" + bytes(48)
+    bad = (b"RIFF" + struct.pack("<I", 4 + 8 + len(strh)) + b"AVI "
+           + b"strh" + struct.pack("<I", len(strh)) + strh)
+    with pytest.raises(NotImplementedError):
+        _avi_frame_chunks(bad)
+
+
+@pytest.mark.spark
+def test_video_frame_sample_seeks_only_sampled_frames(spark):
+    """Every-2nd sampling over the real container: frame ids are even,
+    counts match ceil(T/2), and constant frames decode to exact means."""
+    from resolve_overlap_and_gap_spark.operators.multimodal import (
+        synthesize_video,
+        video_frame_sample,
+    )
+
+    media = synthesize_video(spark, 25, partitions=2)
+    rows = video_frame_sample(media, every=2).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert set(by_id) == set(range(25))
+    for k, rs in by_id.items():
+        total = 4 + k % 4
+        assert sorted(r.frame for r in rs) == list(range(0, total, 2))
+        for r in rs:
+            assert (r.width, r.height) == (32, 24)
+            assert r.mean_byte == float((k * 7 + r.frame * 11) % 256)
