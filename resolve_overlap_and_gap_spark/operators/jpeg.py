@@ -24,6 +24,7 @@ rejection, not silent corruption.  The encoder emits none of those.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -122,22 +123,29 @@ def _canonical_codes(counts, symbols):
 
 
 def _decode_tables(counts, symbols):
-    """mincode/maxcode/valptr per length (T.81 F.16) for the decoder."""
-    mincode = [0] * 17
-    maxcode = [-1] * 17
-    valptr = [0] * 17
+    """Flat 16-bit-peek LUT for the decoder (the classic fast path built
+    from T.81 F.16's canonical ordering): entry[peek16] = (len << 8) | sym
+    for every 16-bit window whose prefix is the code; 0 = invalid prefix.
+    One list lookup replaces the per-bit tree walk — the per-symbol cost
+    that dominated the baseline scan decode.  Cached on the table bytes:
+    real encoders (ours included) reuse the Annex K tables, so a decode
+    fleet builds each 64 K-entry list once per process, not per image."""
+    return _decode_tables_cached(bytes(counts), bytes(symbols))
+
+
+@lru_cache(maxsize=64)
+def _decode_tables_cached(counts: bytes, symbols: bytes):
+    lut = np.zeros(1 << 16, np.int32)
     code, k = 0, 0
     for ln in range(1, 17):
-        if counts[ln - 1] == 0:
-            maxcode[ln] = -1
-        else:
-            valptr[ln] = k
-            mincode[ln] = code
-            code += counts[ln - 1]
-            k += counts[ln - 1]
-            maxcode[ln] = code - 1
+        span = 1 << (16 - ln)
+        for _ in range(counts[ln - 1]):
+            base = code << (16 - ln)
+            lut[base:base + span] = (ln << 8) | symbols[k]
+            code += 1
+            k += 1
         code <<= 1
-    return mincode, maxcode, valptr, list(symbols)
+    return lut.tolist()
 
 
 class _BitWriter:
@@ -281,51 +289,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     return b"".join(out)
 
 
-class _BitReader:
-    __slots__ = ("data", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self, need: int) -> None:
-        while self.nbits < need:
-            b = self.data[self.pos] if self.pos < len(self.data) else 0
-            self.pos += 1
-            self.acc = (self.acc << 8) | b
-            self.nbits += 8
-
-    def read(self, n: int) -> int:
-        if n == 0:
-            return 0
-        self._fill(n)
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-    def read_bit(self) -> int:
-        return self.read(1)
-
-
-def _decode_huff(br: _BitReader, tbl) -> int:
-    mincode, maxcode, valptr, vals = tbl
-    code = br.read_bit()
-    ln = 1
-    while code > maxcode[ln]:
-        code = (code << 1) | br.read_bit()
-        ln += 1
-        if ln > 16:
-            raise ValueError("corrupt JPEG: Huffman code overflow")
-    return vals[valptr[ln] + code - mincode[ln]]
-
-
-def _extend(v: int, s: int) -> int:
-    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
-
-
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Baseline decoder -> uint8 (h, w, c) with c in {1, 3}."""
     if buf[:2] != b"\xff\xd8":
@@ -397,23 +360,64 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     h, w, comps = sof
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     nb = (ph // 8) * (pw // 8)
-    br = _BitReader(scan)
     ncomp = len(comps)
-    coefs = [np.zeros((nb, 64), np.int32) for _ in range(ncomp)]
     tsel = {cid: (td, ta) for cid, td, ta in comps_sos}
+    tabs = [(huff[(0, tsel[cid][0])], huff[(1, tsel[cid][1])])
+            for cid, _tq in comps]
+    # Entropy decode with a 16-bit-peek LUT per symbol and a 48-bit-max
+    # int accumulator refilled 32 bits at a time (zero-padded past EOI per
+    # T.81 F.2.2.5's 1-bit convention relaxed to 0 — padding is only ever
+    # consumed after the last block's EOB).  Blocks buffered as Python
+    # lists (scalar list stores beat numpy item writes ~4x); one
+    # np.array per component at the end.
+    blocks: list[list[list[int]]] = [[] for _ in range(ncomp)]
     prev_dc = [0] * ncomp
-    for n in range(nb):
-        for ci, (cid, _tq) in enumerate(comps):
-            td, ta = tsel[cid]
-            dct_, act_ = huff[(0, td)], huff[(1, ta)]
-            s = _decode_huff(br, dct_)
-            diff = _extend(br.read(s), s)
-            prev_dc[ci] += diff
-            block = coefs[ci][n]
+    data = scan
+    pos = 0
+    acc = 0
+    nbits = 0
+    for _n in range(nb):
+        for ci in range(ncomp):
+            dc_lut, ac_lut = tabs[ci]
+            block = [0] * 64
+            blocks[ci].append(block)
+            if nbits < 16:
+                acc = (acc << 32) | int.from_bytes(
+                    data[pos:pos + 4].ljust(4, b"\x00"), "big")
+                pos += 4
+                nbits += 32
+                acc &= (1 << nbits) - 1
+            e = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+            if e == 0:
+                raise ValueError("corrupt JPEG: Huffman code overflow")
+            nbits -= e >> 8
+            s = e & 0xFF
+            if s:
+                if nbits < s:
+                    acc = (acc << 32) | int.from_bytes(
+                        data[pos:pos + 4].ljust(4, b"\x00"), "big")
+                    pos += 4
+                    nbits += 32
+                    acc &= (1 << nbits) - 1
+                v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                nbits -= s
+                if v < (1 << (s - 1)):
+                    v += 1 - (1 << s)
+                prev_dc[ci] += v
             block[0] = prev_dc[ci]
             k = 1
             while k < 64:
-                rs = _decode_huff(br, act_)
+                if nbits < 16:
+                    acc = (acc << 32) | int.from_bytes(
+                        data[pos:pos + 4].ljust(4, b"\x00"), "big")
+                    pos += 4
+                    nbits += 32
+                    acc &= (1 << nbits) - 1
+                e = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                if e == 0:
+                    raise ValueError("corrupt JPEG: Huffman code overflow")
+                nbits -= e >> 8
+                rs = e & 0xFF
                 if rs == 0x00:
                     break
                 if rs == 0xF0:
@@ -423,11 +427,22 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 s = rs & 0xF
                 if k > 63:
                     raise ValueError("corrupt JPEG: AC index overflow")
-                block[k] = _extend(br.read(s), s)
+                if nbits < s:
+                    acc = (acc << 32) | int.from_bytes(
+                        data[pos:pos + 4].ljust(4, b"\x00"), "big")
+                    pos += 4
+                    nbits += 32
+                    acc &= (1 << nbits) - 1
+                v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                nbits -= s
+                if v < (1 << (s - 1)):
+                    v += 1 - (1 << s)
+                block[k] = v
                 k += 1
     planes = []
     for ci, (_cid, tq) in enumerate(comps):
-        z = coefs[ci][:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+        z = np.array(blocks[ci], np.int32)[:, UNZIGZAG].reshape(
+            -1, 8, 8).astype(np.float64)
         z *= qts[tq].reshape(8, 8)
         sp = np.einsum("xu,nuv,yv->nxy", _C.T, z, _C.T)
         plane = (sp.reshape(ph // 8, pw // 8, 8, 8)
