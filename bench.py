@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "minhash_sig",
     "simhash",
     "jaccard_pairs",
+    "substring_spans",
     "cosine_topk",
     "lsh_pairs",
     "simhash_neardup",

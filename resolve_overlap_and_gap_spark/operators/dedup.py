@@ -197,3 +197,94 @@ def simhash_neardup_pairs(sh: DataFrame, bits: int = 16, bands: int = 4,
         .distinct()
     )
     return pairs
+
+
+def positioned_grams(docs: DataFrame, k: int, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pos, gram): word k-gram starting at 1-based token pos —
+    the positioned (non-distinct) sibling of `shingles`, the input to
+    exact shared-substring span detection.  JVM-side end to end."""
+    norm = normalize_sql(text_col, SPARK)
+    return (
+        docs.selectExpr(
+            f"cast({id_col} as bigint) as doc_id", f"split({norm}, ' ') as toks"
+        )
+        .selectExpr(
+            "doc_id",
+            f"posexplode(transform(sequence(1, greatest(size(toks)-{k}+1, 1)), "
+            f"i -> array_join(slice(toks, i, {k}), ' '))) as (p, gram)",
+        )
+        .selectExpr("doc_id", "cast(p + 1 as bigint) as pos", "gram")
+    )
+
+
+def positioned_grams_duckdb_sql(k: int, text_col: str = "text",
+                                id_col: str = "doc_id",
+                                table: str = "documents") -> str:
+    """DuckDB rendering of the same positioned k-grams."""
+    norm = normalize_sql(text_col, "duckdb")
+    return f"""
+        select cast({id_col} as bigint) as doc_id, cast(i as bigint) as pos,
+               array_to_string(t[i:i+{k}-1], ' ') as gram
+        from (select {id_col}, string_split({norm}, ' ') as t from {table}),
+             unnest(generate_series(1, greatest(length(t)-{k}+1, 1))) as u(i)
+    """
+
+
+def shared_span_pairs(docs: DataFrame, k: int = 6, min_tokens: int = 12,
+                      max_df: int | None = 1000, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exact shared-substring spans across document pairs — the training-
+    data substring-dedup primitive (find every verbatim run of
+    >= min_tokens tokens appearing in two documents; Lee et al. 2021 use
+    a suffix array for the same query, but on Spark the scalable shape is
+    a positioned-k-gram equi-join + per-diagonal run chaining):
+
+      1. positioned k-grams, one shuffle-free Project per doc;
+      2. gram equi-join (a.doc_id < b.doc_id) — one hash shuffle, the
+         only quadratic risk is a gram shared by many docs, capped by
+         dropping grams with more than max_df OCCURRENCES corpus-wide
+         (the `ngram_jaccard_pairs` stop-shingle rule; a dropped hot
+         gram can split a span that crosses it — documented semantics,
+         mirrored exactly in the oracle);
+      3. a shared span of length L appears as L-k+1 matches on one
+         diagonal (pa - pb constant); maximal runs found per
+         (pair, diagonal) with the gaps-and-islands window
+         (island = pa - row_number), no global sort.
+
+    Returns (doc_a, doc_b, start_a, start_b, span_tokens, n_grams), one
+    row per maximal shared run with span_tokens >= min_tokens.  At 100 TB
+    the pair table is bounded by true duplication x (span length / 1),
+    not corpus^2, and every stage is JVM-side."""
+    from pyspark.sql import Window
+
+    g = positioned_grams(docs, k, text_col, id_col)
+    if max_df is not None:
+        hot = (g.groupBy("gram").agg(F.count("*").alias("df"))
+               .where(F.col("df") > max_df).select("gram"))
+        g = g.join(hot, "gram", "left_anti")
+    a, b = g.alias("a"), g.alias("b")
+    pairs = (
+        a.join(b, "gram")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = pairs.withColumn("island", F.col("pa") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.max("pa") - F.min("pa") + F.lit(k)).cast("long").alias("span_tokens"),
+            F.count("*").alias("n_grams"),
+        )
+        .where(F.col("span_tokens") >= min_tokens)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens", "n_grams")
+    )

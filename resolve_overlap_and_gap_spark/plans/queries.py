@@ -414,6 +414,44 @@ def o_jaccard_pairs() -> str:
     """
 
 
+SPAN_K = 6
+SPAN_MIN_TOKENS = 12
+SPAN_MAX_DF = 1000
+
+
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring span detection (training-data substring
+    dedup): every maximal verbatim run of >= SPAN_MIN_TOKENS tokens
+    shared by a document pair, via positioned-k-gram equi-join +
+    per-diagonal run chaining (dedup.shared_span_pairs)."""
+    return dedup.shared_span_pairs(
+        _read(spark, sf_dir, "documents"), k=SPAN_K,
+        min_tokens=SPAN_MIN_TOKENS, max_df=SPAN_MAX_DF)
+
+
+def o_substring_spans() -> str:
+    k, mt, mdf = SPAN_K, SPAN_MIN_TOKENS, SPAN_MAX_DF
+    return f"""
+        with g0 as ({dedup.positioned_grams_duckdb_sql(k)}),
+        g as (select * from g0 where gram not in
+                (select gram from g0 group by gram having count(*) > {mdf})),
+        p as (
+          select a.doc_id as doc_a, b.doc_id as doc_b,
+                 a.pos as pa, b.pos as pb, a.pos - b.pos as diag
+          from g a join g b using (gram)
+          where a.doc_id < b.doc_id),
+        r as (
+          select *, pa - row_number() over
+                 (partition by doc_a, doc_b, diag order by pa) as island
+          from p)
+        select doc_a, doc_b, min(pa) as start_a, min(pb) as start_b,
+               cast(max(pa) - min(pa) + {k} as bigint) as span_tokens,
+               count(*) as n_grams
+        from r group by doc_a, doc_b, diag, island
+        having max(pa) - min(pa) + {k} >= {mt}
+    """
+
+
 def q_cells_outside_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: per coarse group, rank cells outside-in (distance from group
     centroid, DESC) — function_resolve_overlap_gap_init.sql:204-212, in exact
@@ -2373,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": q_minhash_sig,
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
+        "substring_spans": q_substring_spans,
         "cells_outside_in": q_cells_outside_in,
         "star_join": q_star_join,
         "json_props": q_json_props,
@@ -2447,6 +2486,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sig": o_minhash_sig(),
         "simhash": o_simhash(),
         "jaccard_pairs": o_jaccard_pairs(),
+        "substring_spans": o_substring_spans(),
         "cells_outside_in": o_cells_outside_in(),
         "star_join": o_star_join(),
         "json_props": o_json_props(),
