@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "simhash",
     "jaccard_pairs",
     "substring_spans",
+    "seq_pack",
     "cosine_topk",
     "lsh_pairs",
     "simhash_neardup",

@@ -452,6 +452,27 @@ def o_substring_spans() -> str:
     """
 
 
+PACK_CAPACITY = 512
+PACK_SHARDS = 8
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (LM-pipeline packing step): greedy
+    fixed-capacity fill per doc_id-mod shard (operators/packing.py)."""
+    from resolve_overlap_and_gap_spark.operators import packing
+
+    return packing.pack_sequences(
+        _read(spark, sf_dir, "documents"),
+        capacity=PACK_CAPACITY, n_shards=PACK_SHARDS)
+
+
+def o_seq_pack() -> str:
+    from resolve_overlap_and_gap_spark.operators import packing
+
+    return packing.pack_sequences_duckdb_sql(
+        capacity=PACK_CAPACITY, n_shards=PACK_SHARDS)
+
+
 def q_cells_outside_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: per coarse group, rank cells outside-in (distance from group
     centroid, DESC) — function_resolve_overlap_gap_init.sql:204-212, in exact
@@ -2412,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "substring_spans": q_substring_spans,
+        "seq_pack": q_seq_pack,
         "cells_outside_in": q_cells_outside_in,
         "star_join": q_star_join,
         "json_props": q_json_props,
@@ -2487,6 +2509,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": o_simhash(),
         "jaccard_pairs": o_jaccard_pairs(),
         "substring_spans": o_substring_spans(),
+        "seq_pack": o_seq_pack(),
         "cells_outside_in": o_cells_outside_in(),
         "star_join": o_star_join(),
         "json_props": o_json_props(),
