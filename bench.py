@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "jaccard_pairs",
     "substring_spans",
     "seq_pack",
+    "mixture_sample",
     "cosine_topk",
     "lsh_pairs",
     "simhash_neardup",

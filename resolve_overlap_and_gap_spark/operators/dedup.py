@@ -288,3 +288,66 @@ def shared_span_pairs(docs: DataFrame, k: int = 6, min_tokens: int = 12,
         .where(F.col("span_tokens") >= min_tokens)
         .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens", "n_grams")
     )
+
+
+def mixture_downsample(docs: DataFrame, weights: dict[str, tuple[int, int]],
+                       salt: str = "mix", id_col: str = "doc_id",
+                       source_col: str = "source") -> DataFrame:
+    """Deterministic data-mixing step: downsample each source to a target
+    fraction num/den of its own row count (the mixture-reweighting
+    operation of LM corpus pipelines), keeping a reproducible
+    pseudo-random subset — docs ranked per source by the portable md5
+    hash h32(doc_id||salt) (tie: doc_id) and kept while
+    rank <= cnt*num intdiv den.  Quotas are pure integer math so any
+    engine lands the same keep-set bit for bit.
+
+    One window pass computes rank and per-source count together (one
+    shuffle on source); the weights table is a broadcast literal dim.
+    Sources absent from `weights` are kept whole (num=den=1).  At 100 TB
+    the exact per-source rank is a sort per source — if a single source
+    dominates the corpus, swap the rank for the hash-threshold variant
+    (keep h32 % den < num): no sort, same expectation, approximate
+    quota."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    wdim = spark.createDataFrame(
+        [(s, n, d) for s, (n, d) in sorted(weights.items())],
+        "source string, num long, den long")
+    h = h32_of_sql("cast(doc_id as string)", salt, SPARK)
+    slim = docs.selectExpr(
+        f"cast({id_col} as bigint) as doc_id",
+        f"{source_col} as source",
+        f"{h} as h")
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = (slim
+              .withColumn("rk", F.row_number().over(w))
+              .withColumn("cnt", F.count("*").over(Window.partitionBy("source"))))
+    return (ranked.join(F.broadcast(wdim), "source", "left")
+            .where(F.col("rk") <= F.expr(
+                "cnt * coalesce(num, 1) div coalesce(den, 1)"))
+            .selectExpr("doc_id", "source", "cast(rk as bigint) as rk"))
+
+
+def mixture_downsample_duckdb_sql(weights: dict[str, tuple[int, int]],
+                                  salt: str = "mix", id_col: str = "doc_id",
+                                  source_col: str = "source",
+                                  table: str = "documents") -> str:
+    """DuckDB twin of mixture_downsample (same hash, same integer quota)."""
+    h = h32_of_sql("cast(doc_id as string)", salt, "duckdb")
+    vals = ", ".join(f"('{s}', {n}, {d})" for s, (n, d) in sorted(weights.items()))
+    return f"""
+        with wdim(source, num, den) as (values {vals}),
+        slim as (
+          select cast({id_col} as bigint) as doc_id, {source_col} as source,
+                 {h} as h
+          from {table}),
+        ranked as (
+          select doc_id, source,
+                 row_number() over (partition by source order by h, doc_id) as rk,
+                 count(*) over (partition by source) as cnt
+          from slim)
+        select doc_id, source, cast(rk as bigint) as rk
+        from ranked left join wdim using (source)
+        where rk <= cnt * coalesce(num, 1) // coalesce(den, 1)
+    """

@@ -452,6 +452,21 @@ def o_substring_spans() -> str:
     """
 
 
+MIX_WEIGHTS = {f"src{i}": ((i % 4) + 1, 5) for i in range(20)}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture reweighting: downsample each source to
+    (i%4+1)/5 of its rows via portable-hash ranking (dedup.
+    mixture_downsample) — integer quotas, engine-independent keep-set."""
+    return dedup.mixture_downsample(
+        _read(spark, sf_dir, "documents"), MIX_WEIGHTS)
+
+
+def o_mixture_sample() -> str:
+    return dedup.mixture_downsample_duckdb_sql(MIX_WEIGHTS)
+
+
 PACK_CAPACITY = 512
 PACK_SHARDS = 8
 
@@ -2434,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "substring_spans": q_substring_spans,
         "seq_pack": q_seq_pack,
+        "mixture_sample": q_mixture_sample,
         "cells_outside_in": q_cells_outside_in,
         "star_join": q_star_join,
         "json_props": q_json_props,
@@ -2510,6 +2526,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": o_jaccard_pairs(),
         "substring_spans": o_substring_spans(),
         "seq_pack": o_seq_pack(),
+        "mixture_sample": o_mixture_sample(),
         "cells_outside_in": o_cells_outside_in(),
         "star_join": o_star_join(),
         "json_props": o_json_props(),
