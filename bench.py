@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "substring_spans",
     "seq_pack",
     "mixture_sample",
+    "line_dedup",
+    "kmv_distinct",
+    "bloom_filter",
+    "cms_counts",
     "cosine_topk",
     "lsh_pairs",
     "simhash_neardup",

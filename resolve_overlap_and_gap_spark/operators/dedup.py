@@ -351,3 +351,98 @@ def mixture_downsample_duckdb_sql(weights: dict[str, tuple[int, int]],
         from ranked left join wdim using (source)
         where rk <= cnt * coalesce(num, 1) // coalesce(den, 1)
     """
+
+
+def docs_to_lines(docs: DataFrame, tokens_per_line: int = 10,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pos, line): deterministic re-lining of a token stream into
+    fixed-width pseudo-sentences (the corpus here carries no newlines; a
+    real crawl corpus would `split(text, '\\n')` instead — the dedup step
+    below is agnostic to how lines were produced).  JVM-side end to end."""
+    norm = normalize_sql(text_col, SPARK)
+    t = tokens_per_line
+    return (
+        docs.selectExpr(
+            f"cast({id_col} as bigint) as doc_id", f"split({norm}, ' ') as toks"
+        )
+        .selectExpr(
+            "doc_id",
+            f"posexplode(transform(sequence(1, size(toks), {t}), "
+            f"i -> array_join(slice(toks, i, {t}), ' '))) as (p, line)",
+        )
+        .selectExpr("doc_id", "cast(p + 1 as bigint) as pos", "line")
+    )
+
+
+def docs_to_lines_duckdb_sql(tokens_per_line: int = 10, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             table: str = "documents") -> str:
+    """DuckDB rendering of the same re-lining."""
+    norm = normalize_sql(text_col, "duckdb")
+    t = tokens_per_line
+    return f"""
+        select cast({id_col} as bigint) as doc_id,
+               cast((i - 1) // {t} + 1 as bigint) as pos,
+               array_to_string(t[i:i+{t}-1], ' ') as line
+        from (select {id_col}, string_split({norm}, ' ') as t from {table}),
+             unnest(generate_series(1, greatest(length(t), 1), {t})) as u(i)
+    """
+
+
+def line_dedup_docs(docs: DataFrame, tokens_per_line: int = 10,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide line-level dedup (the C4/RefinedWeb cleanup step):
+    every duplicated line keeps only its globally FIRST occurrence —
+    ordered by (doc_id, pos) — and each document is reconstructed from
+    its surviving lines in order.  Output: (doc_id, n_lines, n_kept,
+    clean_text).
+
+    Scale shape: ONE shuffle on the line value (the row_number window);
+    reconstruction is a groupBy on doc_id (second shuffle).  No driver
+    state, no UDFs; at 100 TB the line window is the same partition-by-
+    hash pattern as exact_dedup, and skew (a viral boilerplate line) is
+    bounded because only rank-1 survives the window — AQE splits the
+    oversized partition.
+
+    C4 (Raffel et al. 2020 §2.2) discards all-but-one occurrence of any
+    repeated three-sentence span; this operator is that rule at line
+    granularity with a deterministic first-wins keep rule (the min-id
+    canonical-owner rule, reference view_get_left_over_borders.sql)."""
+    from pyspark.sql import Window
+
+    lines = docs_to_lines(docs, tokens_per_line, text_col, id_col)
+    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    flagged = lines.withColumn(
+        "keep", F.row_number().over(w) == F.lit(1))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.expr(
+                "array_join(transform(filter(sort_array(collect_list("
+                "struct(pos, line, keep))), s -> s.keep), s -> s.line), ' ')"
+            ).alias("clean_text"),
+        )
+        .selectExpr("doc_id", "cast(n_lines as bigint) as n_lines",
+                    "cast(n_kept as bigint) as n_kept", "clean_text")
+    )
+
+
+def line_dedup_docs_duckdb_sql(tokens_per_line: int = 10,
+                               text_col: str = "text", id_col: str = "doc_id",
+                               table: str = "documents") -> str:
+    """DuckDB twin of line_dedup_docs (same keep rule, same reassembly)."""
+    return f"""
+        with l as ({docs_to_lines_duckdb_sql(tokens_per_line, text_col,
+                                             id_col, table)}),
+        r as (
+          select *, row_number() over
+                 (partition by line order by doc_id, pos) as rn
+          from l)
+        select doc_id, cast(count(*) as bigint) as n_lines,
+               cast(sum(case when rn = 1 then 1 else 0 end) as bigint) as n_kept,
+               coalesce(string_agg(case when rn = 1 then line end, ' '
+                                   order by pos), '') as clean_text
+        from r group by doc_id
+    """

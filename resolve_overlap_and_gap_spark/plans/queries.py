@@ -488,6 +488,125 @@ def o_seq_pack() -> str:
         capacity=PACK_CAPACITY, n_shards=PACK_SHARDS)
 
 
+LINE_TOKENS = 5
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level dedup with document reconstruction (the
+    C4-style repeated-line removal step): global first-wins keep rule
+    over fixed-width pseudo-sentences (dedup.line_dedup_docs)."""
+    return dedup.line_dedup_docs(
+        _read(spark, sf_dir, "documents"), tokens_per_line=LINE_TOKENS)
+
+
+def o_line_dedup() -> str:
+    return dedup.line_dedup_docs_duckdb_sql(tokens_per_line=LINE_TOKENS)
+
+
+KMV_K = 64
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per group (operators/sketch.py): k
+    smallest md5-hashes of l_orderkey per l_returnflag; the quantized
+    estimate (and its deterministic error) hash-compares exactly."""
+    from resolve_overlap_and_gap_spark.operators import sketch
+
+    return sketch.kmv_distinct(
+        _read(spark, sf_dir, "lineitem"), "cast(l_orderkey as string)",
+        k=KMV_K, group_col="l_returnflag")
+
+
+def o_kmv_distinct() -> str:
+    from resolve_overlap_and_gap_spark.operators import sketch
+
+    return sketch.kmv_distinct_duckdb_sql(
+        "cast(l_orderkey as string)", k=KMV_K, group_col="l_returnflag",
+        table="lineitem")
+
+
+BLOOM_M, BLOOM_K = 2048, 5
+
+
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe (operators/sketch.py): texts of even
+    doc_ids are inserted; every document probes.  Output carries the
+    ground truth too, so deterministic false positives are visible:
+    (probe_id, mc, is_member)."""
+    from resolve_overlap_and_gap_spark.operators import sketch
+
+    docs = _read(spark, sf_dir, "documents")
+    ins = docs.where("doc_id % 2 = 0")
+    mc = sketch.bloom_membership(
+        ins, docs, "text", "text", "doc_id", m=BLOOM_M, k=BLOOM_K)
+    truth = (docs.selectExpr("cast(doc_id as bigint) as probe_id", "text")
+             .join(ins.selectExpr("text").distinct().withColumn(
+                 "im", F.lit(1)), "text", "left")
+             .selectExpr("probe_id",
+                         "cast(coalesce(im, 0) as bigint) as is_member"))
+    return (mc.join(truth, "probe_id")
+            .selectExpr("probe_id", "cast(might_contain as bigint) as mc",
+                        "is_member"))
+
+
+def o_bloom_filter() -> str:
+    from resolve_overlap_and_gap_spark.operators import sketch
+
+    ins_sql = "select text from documents where doc_id % 2 = 0"
+    inner = sketch.bloom_membership_duckdb_sql(
+        ins_sql, "select doc_id, text from documents", "text", "text",
+        "doc_id", m=BLOOM_M, k=BLOOM_K)
+    return f"""
+        with mc as ({inner}),
+        truth as (
+          select cast(d.doc_id as bigint) as probe_id,
+                 cast(case when i.text is null then 0 else 1 end as bigint)
+                   as is_member
+          from documents d left join (select distinct text from ({ins_sql})) i
+            using (text))
+        select probe_id, cast(might_contain as bigint) as mc, is_member
+        from mc join truth using (probe_id)
+    """
+
+
+CMS_W, CMS_D = 16, 3
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (operators/sketch.py) over the token
+    stream; every distinct token probes, with the exact count joined so
+    the (deterministic, always >= 0) collision overestimate is visible:
+    (term, true_cnt, cms_est)."""
+    from resolve_overlap_and_gap_spark.operators import sketch
+
+    toks = (_read(spark, sf_dir, "documents")
+            .selectExpr(f"explode(split({dedup.normalize_sql('text', SPARK)},"
+                        " ' ')) as term"))
+    probes = toks.selectExpr("term").distinct()
+    est = sketch.cms_freq(toks, "term", probes, "term", w=CMS_W, d=CMS_D)
+    truth = toks.groupBy("term").agg(
+        F.count("*").cast("long").alias("true_cnt"))
+    return est.join(truth, "term").selectExpr("term", "true_cnt", "cms_est")
+
+
+def o_cms_counts() -> str:
+    from resolve_overlap_and_gap_spark.operators import sketch
+
+    norm = dedup.normalize_sql("text", DUCKDB)
+    toks_sql = (f"select unnest(string_split({norm}, ' ')) as term "
+                "from documents")
+    inner = sketch.cms_freq_duckdb_sql(
+        toks_sql, "term", f"select distinct term from ({toks_sql})", "term",
+        w=CMS_W, d=CMS_D)
+    return f"""
+        with est as ({inner}),
+        truth as (
+          select term, cast(count(*) as bigint) as true_cnt
+          from ({toks_sql}) group by term)
+        select term, true_cnt, cms_est from est join truth using (term)
+    """
+
+
 def q_cells_outside_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: per coarse group, rank cells outside-in (distance from group
     centroid, DESC) — function_resolve_overlap_gap_init.sql:204-212, in exact
@@ -2450,6 +2569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": q_substring_spans,
         "seq_pack": q_seq_pack,
         "mixture_sample": q_mixture_sample,
+        "line_dedup": q_line_dedup,
+        "kmv_distinct": q_kmv_distinct,
+        "bloom_filter": q_bloom_filter,
+        "cms_counts": q_cms_counts,
         "cells_outside_in": q_cells_outside_in,
         "star_join": q_star_join,
         "json_props": q_json_props,
@@ -2527,6 +2650,10 @@ def oracle_sql() -> dict[str, str]:
         "substring_spans": o_substring_spans(),
         "seq_pack": o_seq_pack(),
         "mixture_sample": o_mixture_sample(),
+        "line_dedup": o_line_dedup(),
+        "kmv_distinct": o_kmv_distinct(),
+        "bloom_filter": o_bloom_filter(),
+        "cms_counts": o_cms_counts(),
         "cells_outside_in": o_cells_outside_in(),
         "star_join": o_star_join(),
         "json_props": o_json_props(),
