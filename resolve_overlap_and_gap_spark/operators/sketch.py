@@ -39,19 +39,25 @@ def kmv_distinct(df: DataFrame, expr: str, k: int = 64,
     Output per group: (group, n_seen, kmv_est) with kmv_est quantized to
     a bigint (floor) so the estimate hash-compares across engines.
 
-    Scale shape: distinct-hash reduce (map-side combine) then a per-group
-    top-k window over <= k surviving rows per partition after AQE — the
-    shuffled state is min(D, k) rows per group, i.e. the sketch, not the
-    data.  Union/merge of two KMV sketches = union the hash sets and
-    re-take the k smallest, which is the same query over a union — the
-    property that makes KMV mergeable across 1000 executors."""
+    Scale shape: distinct-hash reduce (map-side combine), then a SALTED
+    two-level top-k — level 1 ranks within (group, h % n_salts) so the
+    sort is n_salts-way parallel and externally spillable even when there
+    are few groups (a plain per-group window would be one giant sort
+    task per group at 100 TB); level 2 ranks the <= n_salts*k survivors.
+    Union/merge of two KMV sketches = union the hash sets and re-take
+    the k smallest, which is the same query over a union — the property
+    that makes KMV mergeable across 1000 executors."""
     from pyspark.sql import Window
 
     g = group_col or "'all'"
     h = h32_of_sql(expr, f":{salt}", SPARK)
+    n_salts = 32
     hashes = df.selectExpr(f"{g} as grp", f"{h} as h").distinct()
-    w = Window.partitionBy("grp").orderBy("h")
-    topk = (hashes.withColumn("rk", F.row_number().over(w))
+    w1 = Window.partitionBy("grp", F.expr(f"h % {n_salts}")).orderBy("h")
+    survivors = (hashes.withColumn("rk1", F.row_number().over(w1))
+                 .where(F.col("rk1") <= k))
+    w2 = Window.partitionBy("grp").orderBy("h")
+    topk = (survivors.withColumn("rk", F.row_number().over(w2))
             .where(F.col("rk") <= k))
     return (topk.groupBy("grp")
             .agg(F.count("*").alias("n_seen"), F.max("h").alias("hk"))
