@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "kmv_distinct",
     "bloom_filter",
     "cms_counts",
+    "quantiles",
     "cosine_topk",
     "lsh_pairs",
     "simhash_neardup",

@@ -213,3 +213,59 @@ def cms_freq_duckdb_sql(data_sql: str, expr: str, probe_sql: str,
         from probes left join cells using (r, c)
         group by term
     """
+
+
+# ------------------------------------------------------- exact quantiles
+def exact_quantiles(df: DataFrame, val_expr: str, qs: list[float],
+                    group_col: str | None = None) -> DataFrame:
+    """Exact type-1 quantiles (no interpolation: the value at rank
+    ceil(q*n)) per group, via the counting-sort shape: aggregate to
+    (group, value, count), cumulative-sum over DISTINCT values, pick the
+    smallest value whose cumulative count reaches the rank.
+
+    Scale shape: the window runs over distinct values per group — bounded
+    by the value DOMAIN (doc lengths, quantized scores), not the row
+    count, so a 100 TB column with a few thousand distinct lengths sorts
+    a few thousand rows per group.  For truly continuous high-cardinality
+    columns quantize first or use a two-pass histogram refinement; a
+    row-level sort here would be the same single-giant-task trap the
+    salted KMV avoids.
+
+    Output: (grp, q, qval)."""
+    from pyspark.sql import Window
+
+    g = group_col or "'all'"
+    agg = (df.selectExpr(f"{g} as grp", f"cast({val_expr} as bigint) as val")
+           .groupBy("grp", "val").agg(F.count("*").alias("cnt")))
+    wcum = (Window.partitionBy("grp").orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wtot = Window.partitionBy("grp")
+    cum = (agg.withColumn("cum", F.sum("cnt").over(wcum))
+           .withColumn("n", F.sum("cnt").over(wtot)))
+    qlits = ", ".join(f"cast({q} as double)" for q in qs)
+    return (cum.selectExpr("grp", "val", "cnt", "cum", "n",
+                           f"explode(array({qlits})) as q")
+            .where("cum >= ceil(q * n) and cum - cnt < ceil(q * n)")
+            .selectExpr("grp", "q", "val as qval"))
+
+
+def exact_quantiles_duckdb_sql(val_expr: str, qs: list[float],
+                               group_col: str | None = None,
+                               table: str = "documents") -> str:
+    """DuckDB twin of exact_quantiles (same rank rule)."""
+    g = group_col or "'all'"
+    qlits = ", ".join(f"(cast({q} as double))" for q in qs)
+    return f"""
+        with agg as (
+          select {g} as grp, cast({val_expr} as bigint) as val,
+                 count(*) as cnt
+          from {table} group by 1, 2),
+        cum as (
+          select *, sum(cnt) over (partition by grp order by val
+                     rows between unbounded preceding and current row) as cum,
+                 sum(cnt) over (partition by grp) as n
+          from agg)
+        select grp, q, val as qval
+        from cum, (values {qlits}) as quo(q)
+        where cum >= ceil(q * n) and cum - cnt < ceil(q * n)
+    """

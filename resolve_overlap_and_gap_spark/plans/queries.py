@@ -607,6 +607,28 @@ def o_cms_counts() -> str:
     """
 
 
+QUANTILE_QS = [0.1, 0.5, 0.9, 0.99]
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles of document length via the counting-sort
+    shape (operators/sketch.exact_quantiles): window over DISTINCT
+    values, not rows — the corpus-stats primitive behind length filters
+    like Gopher's."""
+    from resolve_overlap_and_gap_spark.operators import sketch
+
+    return sketch.exact_quantiles(
+        _read(spark, sf_dir, "documents"), "n_chars", QUANTILE_QS,
+        group_col="lang")
+
+
+def o_quantiles() -> str:
+    from resolve_overlap_and_gap_spark.operators import sketch
+
+    return sketch.exact_quantiles_duckdb_sql(
+        "n_chars", QUANTILE_QS, group_col="lang", table="documents")
+
+
 def q_cells_outside_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: per coarse group, rank cells outside-in (distance from group
     centroid, DESC) — function_resolve_overlap_gap_init.sql:204-212, in exact
@@ -2573,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "bloom_filter": q_bloom_filter,
         "cms_counts": q_cms_counts,
+        "quantiles": q_quantiles,
         "cells_outside_in": q_cells_outside_in,
         "star_join": q_star_join,
         "json_props": q_json_props,
@@ -2654,6 +2677,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": o_kmv_distinct(),
         "bloom_filter": o_bloom_filter(),
         "cms_counts": o_cms_counts(),
+        "quantiles": o_quantiles(),
         "cells_outside_in": o_cells_outside_in(),
         "star_join": o_star_join(),
         "json_props": o_json_props(),

@@ -125,3 +125,20 @@ def test_line_dedup_normalizes_before_compare(spark):
     out = {r.doc_id: r for r in
            dedup.line_dedup_docs(docs, tokens_per_line=2).collect()}
     assert out[1].n_kept == 1 and out[2].n_kept == 0
+
+
+# ------------------------------------------------------ exact quantiles
+def test_exact_quantiles_rank_rule_and_ties(spark):
+    # values with heavy ties; type-1 rule: value at rank ceil(q*n)
+    vals = [1] * 5 + [2] * 3 + [10] * 2   # n=10
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = {r.q: r.qval
+           for r in sketch.exact_quantiles(df, "v", [0.1, 0.5, 0.8, 0.81, 1.0]).collect()}
+    assert out == {0.1: 1, 0.5: 1, 0.8: 2, 0.81: 10, 1.0: 10}
+
+
+def test_exact_quantiles_single_row_groups(spark):
+    df = spark.createDataFrame([("a", 7), ("b", 9)], "g string, v long")
+    out = {(r.grp, r.q): r.qval
+           for r in sketch.exact_quantiles(df, "v", [0.5], group_col="g").collect()}
+    assert out == {("a", 0.5): 7, ("b", 0.5): 9}
