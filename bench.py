@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "bloom_filter",
     "cms_counts",
     "quantiles",
+    "pagerank",
     "cosine_topk",
     "lsh_pairs",
     "simhash_neardup",

@@ -106,3 +106,75 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
         .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
         .select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
     )
+
+
+PR_SCALE = 10 ** 12
+
+
+def pagerank(edges: DataFrame, n_iter: int = 5,
+             damping: tuple[int, int] = (85, 100),
+             scale: int = PR_SCALE) -> DataFrame:
+    """PageRank in EXACT integer arithmetic — ranks are bigints scaled by
+    ``scale``; each iteration is rank = base + d * sum(rank[src] div
+    deg[src]) div den with integer division throughout, so the result is
+    independent of aggregation order (float PageRank is not: distributed
+    double sums reorder across runs) and a SQL oracle reproduces it bit
+    for bit.  Dangling-node mass is dropped (the simplified variant);
+    nodes with no in-links hold the base mass.
+
+    Scale shape: per iteration one equi-join (edges x ranks, shuffled on
+    src — degree skew on celebrity pages is an AQE skew-join case) + one
+    groupBy(dst) with map-side partial sums; ranks are localCheckpoint()ed
+    each round to truncate the iterative lineage, the standard Spark
+    iterative-algorithm pattern.  Overflow bound: sum of in-contribs <
+    n * scale must stay under 2^63 — scale=1e12 holds to ~9M incoming
+    edges per node; lower `scale` for denser graphs.
+
+    Output: (id, rank_int)."""
+    num, den = damping
+    base = (den - num) * scale // den
+    e = edges.selectExpr("cast(src as bigint) as src",
+                         "cast(dst as bigint) as dst")
+    nodes = (e.selectExpr("src as id").union(e.selectExpr("dst as id"))
+             .distinct().localCheckpoint())
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    r = nodes.withColumn("r", F.lit(scale).cast("long"))
+    for _ in range(n_iter):
+        inc = (e.join(r.withColumnRenamed("id", "src"), "src")
+               .join(deg, "src")
+               .selectExpr("dst as id", "r div d as c")
+               .groupBy("id").agg(F.sum("c").alias("inc")))
+        r = (nodes.join(inc, "id", "left")
+             .selectExpr(
+                 "id",
+                 f"cast({base} + ({num} * coalesce(inc, 0)) div {den} "
+                 "as bigint) as r")
+             .localCheckpoint())
+    return r.selectExpr("id", "r as rank_int")
+
+
+def pagerank_duckdb_sql(edges_sql: str, n_iter: int = 5,
+                        damping: tuple[int, int] = (85, 100),
+                        scale: int = PR_SCALE) -> str:
+    """DuckDB twin of pagerank: the iteration statically unrolled into
+    chained CTEs (same integer arithmetic, same keep rules)."""
+    num, den = damping
+    base = (den - num) * scale // den
+    parts = [
+        f"e as ({edges_sql})",
+        "nodes as (select src as id from e union select dst as id from e)",
+        "deg as (select src, count(*) as d from e group by src)",
+        f"r0 as (select id, cast({scale} as bigint) as r from nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""r{i} as (
+          select n.id,
+                 cast({base} + ({num} * coalesce(s.inc, 0)) // {den}
+                      as bigint) as r
+          from nodes n left join (
+            select e.dst as id, sum(r.r // deg.d) as inc
+            from e join r{i - 1} r on e.src = r.id
+                   join deg on deg.src = e.src
+            group by e.dst) s on n.id = s.id)""")
+    return ("with " + ",\n".join(parts)
+            + f"\nselect id, r as rank_int from r{n_iter}")

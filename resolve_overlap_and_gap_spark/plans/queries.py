@@ -629,6 +629,41 @@ def o_quantiles() -> str:
         "n_chars", QUANTILE_QS, group_col="lang", table="documents")
 
 
+PR_ITER = 5
+PR_OUT_LINKS = 3
+
+
+def _pr_edges_sql(dialect: str, table: str) -> str:
+    """Deterministic 3-out-link graph over the documents: doc i links to
+    h32(i || ':e'||j) % n for j in 0..2 (doc ids are contiguous 0..n-1
+    in the synthesized corpus) — same formula both dialects."""
+    selects = []
+    for j in range(PR_OUT_LINKS):
+        h = dedup.h32_of_sql("cast(doc_id as string)", f":e{j}", dialect)
+        selects.append(
+            f"select cast(doc_id as bigint) as src, "
+            f"{h} % (select count(*) from {table}) as dst from {table}")
+    return " union all ".join(selects)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (components.pagerank) over the derived link
+    graph — the crawl-graph ranking primitive; the iterative DataFrame
+    loop on Spark vs a statically unrolled CTE chain on DuckDB."""
+    from resolve_overlap_and_gap_spark.operators import components
+
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("_pr_docs")
+    edges = spark.sql(_pr_edges_sql(SPARK, "_pr_docs"))
+    return components.pagerank(edges, n_iter=PR_ITER)
+
+
+def o_pagerank() -> str:
+    from resolve_overlap_and_gap_spark.operators import components
+
+    return components.pagerank_duckdb_sql(
+        _pr_edges_sql(DUCKDB, "documents"), n_iter=PR_ITER)
+
+
 def q_cells_outside_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: per coarse group, rank cells outside-in (distance from group
     centroid, DESC) — function_resolve_overlap_gap_init.sql:204-212, in exact
@@ -2596,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filter": q_bloom_filter,
         "cms_counts": q_cms_counts,
         "quantiles": q_quantiles,
+        "pagerank": q_pagerank,
         "cells_outside_in": q_cells_outside_in,
         "star_join": q_star_join,
         "json_props": q_json_props,
@@ -2678,6 +2714,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_filter": o_bloom_filter(),
         "cms_counts": o_cms_counts(),
         "quantiles": o_quantiles(),
+        "pagerank": o_pagerank(),
         "cells_outside_in": o_cells_outside_in(),
         "star_join": o_star_join(),
         "json_props": o_json_props(),
