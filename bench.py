@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "cms_counts",
     "quantiles",
     "pagerank",
+    "host_block",
     "cosine_topk",
     "lsh_pairs",
     "simhash_neardup",

@@ -213,3 +213,58 @@ def canonical_urls(pages: DataFrame, url_col: str = "url",
         f"{canon} as url_canon",
     ).selectExpr("doc_id", "url_canon",
                  f"{url_host_sql('url_canon', SPARK)} as host")
+
+
+def blocklist_filter(pages: DataFrame, blocklist: list[str],
+                     host_col: str = "host",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Domain-blocklist filtering with registrable-suffix semantics (the
+    UT1/adult-blocklist step of a crawl pipeline): a host is blocked when
+    ANY of its dot-suffixes appears in the list, so blocking
+    'example.com' blocks 'ads.example.com' too.
+
+    Output: (doc_id, host, blocked).
+
+    Scale shape: each host explodes into its <= depth dot-suffixes
+    (bounded ~5), left-BROADCAST-joined against the blocklist dim (a
+    blocklist is millions of rows at most — always broadcastable), then
+    a per-doc max.  No regex scans of the host per blocklist entry (that
+    would be O(list) per row); JVM end to end."""
+    from pyspark.sql import functions as F
+
+    spark = pages.sparkSession
+    dim = spark.createDataFrame([(b,) for b in sorted(blocklist)],
+                                "suffix string").withColumn("hit", F.lit(1))
+    parts = f"split({host_col}, '\\\\.')"
+    sfx = (pages.selectExpr(
+        f"cast({id_col} as bigint) as doc_id", f"{host_col} as host",
+        f"posexplode(transform(sequence(1, size({parts})), "
+        f"i -> array_join(slice({parts}, i, size({parts}) - i + 1), '.'))) "
+        "as (p, suffix)"))
+    return (sfx.join(F.broadcast(dim), "suffix", "left")
+            .groupBy("doc_id", "host")
+            .agg(F.max(F.coalesce(F.col("hit"), F.lit(0)))
+                 .cast("bigint").alias("blocked")))
+
+
+def blocklist_filter_duckdb_sql(pages_sql: str, blocklist: list[str],
+                                host_col: str = "host",
+                                id_col: str = "doc_id") -> str:
+    """DuckDB twin of blocklist_filter (same suffix explosion, same
+    broadcast-dim semantics)."""
+    vals = ", ".join(f"('{b}')" for b in sorted(blocklist))
+    return f"""
+        with dim(suffix) as (values {vals}),
+        p as (select cast({id_col} as bigint) as doc_id, {host_col} as host,
+                     string_split({host_col}, '.') as parts
+              from ({pages_sql})),
+        sfx as (
+          select doc_id, host,
+                 array_to_string(parts[i:len(parts)], '.') as suffix
+          from p, unnest(generate_series(1, len(parts))) as u(i))
+        select doc_id, host,
+               cast(max(case when dim.suffix is null then 0 else 1 end)
+                    as bigint) as blocked
+        from sfx left join dim using (suffix)
+        group by doc_id, host
+    """

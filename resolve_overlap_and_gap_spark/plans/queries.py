@@ -2226,6 +2226,33 @@ def o_url_canon() -> str:
     """
 
 
+BLOCKLIST = ["src1.example.com", "src2.example.com", "blocked.net"]
+
+
+def _block_host_sql(dialect: str) -> str:
+    """Host fixture with real subdomain depth: half of each source's docs
+    sit on a cdn. subdomain (doc_id % 8 < 4 — source is doc_id mod 20, so
+    a %4 condition would never hit odd-id sources), making suffix
+    matching (not equality) decide for the cdn rows."""
+    return ("concat(case when doc_id % 8 < 4 then 'cdn.' else '' end, "
+            "lower(source), '.example.com')")
+
+
+def q_host_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering with suffix semantics
+    (textstats.blocklist_filter): blocking src1.example.com also blocks
+    cdn.src1.example.com — the UT1-style crawl filter step."""
+    pages = _read(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_block_host_sql(SPARK)} as host")
+    return textstats.blocklist_filter(pages, BLOCKLIST)
+
+
+def o_host_block() -> str:
+    pages_sql = (f"select doc_id, {_block_host_sql(DUCKDB)} as host "
+                 "from documents")
+    return textstats.blocklist_filter_duckdb_sql(pages_sql, BLOCKLIST)
+
+
 def q_url_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level rollup over canonical URLs (per-site quotas / host
     blocking): docs and distinct canonical urls per host."""
@@ -2632,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "quantiles": q_quantiles,
         "pagerank": q_pagerank,
+        "host_block": q_host_block,
         "cells_outside_in": q_cells_outside_in,
         "star_join": q_star_join,
         "json_props": q_json_props,
@@ -2715,6 +2743,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_counts": o_cms_counts(),
         "quantiles": o_quantiles(),
         "pagerank": o_pagerank(),
+        "host_block": o_host_block(),
         "cells_outside_in": o_cells_outside_in(),
         "star_join": o_star_join(),
         "json_props": o_json_props(),

@@ -53,3 +53,19 @@ def test_canonical_rules_duckdb_matches():
         ).fetchone()
         assert c == want, (u, c, want)
         assert "://" not in h and "/" not in h
+
+
+@pytest.mark.spark
+def test_blocklist_suffix_semantics(spark):
+    from resolve_overlap_and_gap_spark.operators.textstats import blocklist_filter
+
+    pages = spark.createDataFrame(
+        [(1, "ads.example.com"), (2, "example.com"), (3, "safeexample.com"),
+         (4, "example.com.evil.org"), (5, "sub.deep.example.com"),
+         (6, "org")],
+        "doc_id long, host string")
+    out = {r.doc_id: r.blocked
+           for r in blocklist_filter(pages, ["example.com"]).collect()}
+    # suffix semantics on dot boundaries only: 3 (substring, not suffix)
+    # and 4 (prefix, not suffix) must NOT block
+    assert out == {1: 1, 2: 1, 3: 0, 4: 0, 5: 1, 6: 0}
