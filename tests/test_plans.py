@@ -63,3 +63,16 @@ def test_banded_joins_no_nested_loop(spark):
         plan = _plan(q(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_bench_queries_subset_of_registry():
+    """Every bench.py suite entry must exist in the driver registry, and
+    every oracle must have a query — guards bench/registry drift."""
+    import bench
+    from resolve_overlap_and_gap_spark.plans import queries as Q
+
+    qs, osql = Q.queries(), Q.oracle_sql()
+    missing = [n for n in bench.BENCH_QUERIES if n not in qs]
+    assert not missing, f"bench entries without a registry query: {missing}"
+    orphans = [n for n in osql if n not in qs]
+    assert not orphans, f"oracles without a query: {orphans}"
