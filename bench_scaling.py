@@ -41,7 +41,7 @@ spark.sparkContext.setLogLevel("ERROR")
 from pyspark.sql import functions as F
 from resolve_overlap_and_gap_spark.plans import queries as Q
 from resolve_overlap_and_gap_spark.operators.overlap_gap import (
-    detect_all, detect_all_balanced)
+    detect_all, detect_all_balanced, assign_balanced_cells)
 from resolve_overlap_and_gap_spark.operators.resolve import (
     resolve, resolve_balanced)
 from resolve_overlap_and_gap_spark.operators.celljoin import point_in_box_join
@@ -71,11 +71,15 @@ rows = 0
 if GRID == "balanced":
     gc = GridConfig(base_resolution=res, max_resolution=res + 4,
                     max_rows_in_each_cell=160)
-    rows += detect_all_balanced(
-        layer, EngineConfig(snap_tolerance=1e-5, grid=gc), n_buckets=1024).count()
+    cfg_b = EngineConfig(snap_tolerance=1e-5, grid=gc)
+    # reference parity: the grid is built ONCE (resolve_overlap_gap_init)
+    # and both phases consume it — checkpoint the assignment and share it
+    asg = assign_balanced_cells(layer, cfg_b).localCheckpoint()
+    rows += detect_all_balanced(layer, cfg_b, n_buckets=1024,
+                                assigned=asg).count()
     rows += resolve_balanced(
         layer, EngineConfig(snap_tolerance=1e-5, min_area_to_keep=1e-4, grid=gc),
-        n_buckets=1024).count()
+        n_buckets=1024, assigned=asg).count()
 else:
     rows += detect_all(layer, EngineConfig(snap_tolerance=1e-5), res=res, n_buckets=1024).count()
     rows += resolve(layer, EngineConfig(snap_tolerance=1e-5, min_area_to_keep=1e-4),

@@ -129,51 +129,71 @@ def content_balanced_cells(
     quadrants. Returns (cell_id, n_rows, res); with_hot additionally
     returns {res: hot-cell DataFrame} for the levels that refined.
 
-    FULLY DISTRIBUTED: the frontier stays in DataFrames end to end — the
-    per-level histogram is localCheckpoint'ed (lazy; the level's own count
-    action materializes it), hot cells are a cells-over-threshold dim the
-    points SEMI-JOIN against (AQE broadcasts it while small, falls back to
-    a shuffle join when a 100 TB histogram makes it wide), and the result
-    is the UNION of per-level done slices.  The only values that ever
-    reach the driver are one hot-cell COUNT per level — a million-cell
-    frontier never materializes as Python rows or an isin literal (the
-    round-3 bottleneck; the repo's own Pareto study showed a ~5k-literal
-    isin already costs more than shipping the rows).
+    FULLY DISTRIBUTED, ONE PASS over the points: the per-level histograms
+    for EVERY candidate resolution come out of a single explode +
+    groupBy((res, cell)) aggregation (map-side partial combine makes the
+    shuffle O(cells), not O(points x levels)), checkpointed once.  The
+    level-by-level hot determination then cascades over that SMALL
+    histogram — hot(r+1) = (n_rows > max) AND parent IN hot(r), a chain of
+    semi-joins between per-level cell dims AQE broadcasts — so refining
+    never re-keys or re-shuffles the points and never eagerly checkpoints
+    a point subset per level (the round-4 shape: L aggregations + L count
+    actions + L-1 point checkpoints; at 100 TB that is L full passes over
+    the corpus vs this version's one).  The only driver-side values are
+    ONE small per-level raw-hot-count collect used to prune levels that
+    cannot refine; a million-cell frontier never materializes as Python
+    rows or an isin literal (the round-3 bottleneck; the repo's own Pareto
+    study showed a ~5k-literal isin already costs more than shipping the
+    rows).
+
+    Semantics are unchanged from the iterative version: a level-(r+1)
+    cell's point count is identical whether counted over all points or
+    only over points inside hot level-r parents (a cell's points all lie
+    in its parent), so counting every level up front commutes with the
+    refinement.
     """
-    # Loop depth <= max_res - base_res (log of skew).  On uniform data (no
-    # hot cells) the whole call is one distributed aggregation — the
-    # balanced path costs the same as fixed-res when refinement never
-    # triggers.  Only the HOT point subset is eagerly checkpointed between
-    # iterations (lineage truncation on the slice that actually refines).
-    pts = points.select(
-        F.col(lon).alias("px"), F.col(lat).alias("py"),
-        grid.cell_id_col(F.col(lon), F.col(lat), base_res).alias("cell_id"),
+    levels = list(range(base_res, max_res + 1))
+    keyed = points.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(r).cast("int").alias("res"),
+                grid.cell_id_col(F.col(lon), F.col(lat), r).alias("cell_id"),
+            )
+            for r in levels
+        ])).alias("rc")
+    ).select("rc.res", "rc.cell_id")
+    hist = (
+        keyed.groupBy("res", "cell_id").agg(F.count("*").alias("n_rows"))
+        .localCheckpoint(eager=True)
     )
+    # levels that cannot refine (no cell over threshold anywhere) bound the
+    # cascade depth — one tiny collect over the checkpointed histogram
+    raw_hot = {
+        r["res"]: r["n"]
+        for r in hist.where(F.col("n_rows") > max_rows_in_each_cell)
+        .groupBy("res").agg(F.count("*").alias("n")).collect()
+    }
+    zmask = (1 << grid.RES_SHIFT) - 1
     frontier: list[DataFrame] = []
     hot_by_res: dict[int, DataFrame] = {}
-    res = base_res
-    while True:
-        cur = (
-            pts.groupBy("cell_id").agg(F.count("*").alias("n_rows"))
-            .withColumn("res", F.lit(res))
-            .localCheckpoint(eager=False)
-        )
-        if res >= max_res:
+    prev_hot: DataFrame | None = None
+    for r in levels:
+        cur = hist.where(F.col("res") == r)
+        if prev_hot is not None:
+            parent_id = F.lit((r - 1) << grid.RES_SHIFT).cast("long").bitwiseOR(
+                F.shiftright(F.col("cell_id").bitwiseAND(F.lit(zmask)), 2))
+            cur = (cur.withColumn("_parent", parent_id)
+                   .join(prev_hot.withColumnRenamed("cell_id", "_parent"),
+                         "_parent", "left_semi")
+                   .drop("_parent"))
+        if r >= max_res or not raw_hot.get(r):
             frontier.append(cur)
             break
-        hot = cur.where(F.col("n_rows") > max_rows_in_each_cell)
-        n_hot = hot.count()  # the only per-level driver-side value
+        hot = (cur.where(F.col("n_rows") > max_rows_in_each_cell)
+               .select("cell_id"))
         frontier.append(cur.where(F.col("n_rows") <= max_rows_in_each_cell))
-        if n_hot == 0:
-            break
-        hot_by_res[res] = hot.select("cell_id")
-        res += 1
-        pts = (
-            pts.join(hot_by_res[res - 1], "cell_id", "left_semi")
-            .drop("cell_id")
-            .withColumn("cell_id", grid.cell_id_col(F.col("px"), F.col("py"), res))
-            .localCheckpoint(eager=True)
-        )
+        hot_by_res[r] = hot
+        prev_hot = hot
     out = frontier[0]
     for p in frontier[1:]:
         out = out.unionByName(p)

@@ -314,7 +314,7 @@ def mixture_downsample(docs: DataFrame, weights: dict[str, tuple[int, int]],
     wdim = spark.createDataFrame(
         [(s, n, d) for s, (n, d) in sorted(weights.items())],
         "source string, num long, den long")
-    h = h32_of_sql("cast(doc_id as string)", salt, SPARK)
+    h = h32_of_sql(f"cast({id_col} as string)", salt, SPARK)
     slim = docs.selectExpr(
         f"cast({id_col} as bigint) as doc_id",
         f"{source_col} as source",
@@ -334,7 +334,7 @@ def mixture_downsample_duckdb_sql(weights: dict[str, tuple[int, int]],
                                   source_col: str = "source",
                                   table: str = "documents") -> str:
     """DuckDB twin of mixture_downsample (same hash, same integer quota)."""
-    h = h32_of_sql("cast(doc_id as string)", salt, "duckdb")
+    h = h32_of_sql(f"cast({id_col} as string)", salt, "duckdb")
     vals = ", ".join(f"('{s}', {n}, {d})" for s, (n, d) in sorted(weights.items()))
     return f"""
         with wdim(source, num, den) as (values {vals}),

@@ -129,15 +129,16 @@ def dissolve(df: DataFrame, key_col: str, grid_size: float,
     ceil(max/TARGET) capped at AUTO_SALT_MAX — so a single giant owner can
     never serialize the heal's final dissolve.
 
-    CAUTION with 'auto': the sizing count is an EXTRA action over the
-    input, so a lazy expensive upstream plan is evaluated twice (once for
-    the count, once for the dissolve).  Both in-repo call sites feed a
-    checkpointed input; do the same (localCheckpoint / cache) when passing
-    'auto' a non-trivial plan."""
+    With 'auto' the sizing count is an EXTRA action over the input, so
+    the slimmed input is localCheckpoint()ed internally first — an
+    expensive upstream plan is evaluated ONCE, and the dissolve itself
+    then reads the checkpoint.  Explicit n_salts pays no extra action and
+    no checkpoint."""
     slim = df.select(
         F.col(key_col).cast("long").alias("key"), F.col(geom_col).alias("geom")
     )
     if n_salts == "auto":
+        slim = slim.localCheckpoint()
         maxc = (slim.groupBy("key").count()
                 .agg(F.max("count").alias("m")).collect()[0]["m"]) or 0
         n_salts = 1 if maxc <= AUTO_SALT_TARGET else min(

@@ -4,25 +4,38 @@ Real crawl media is mostly JPEG; round 3 left it behind a
 NotImplementedError.  This module implements the baseline sequential-DCT
 process from the public JPEG standard (ITU-T T.81): 8x8 orthonormal DCT,
 Annex K quantization + Huffman tables (quality-scaled with the familiar
-5000/Q | 200-2Q rule), 4:4:4 sampling (no chroma subsampling), canonical
-Huffman coding with byte stuffing.
+5000/Q | 200-2Q rule), canonical Huffman coding with byte stuffing,
+4:4:4 / 4:2:2 / 4:2:0 chroma sampling (box-mean downsample on encode,
+replication upsample on decode) and restart intervals (DRI + RSTn).
 
-Scale shape: the per-symbol Huffman walk is an irreducible sequential
-loop (a few int ops per symbol — the same structure every native decoder
-has), but everything per-BLOCK is vectorized across all blocks of the
-image at once: forward/inverse DCT are two einsum contractions over the
-(n_blocks, 8, 8) stack, quantization/dequantization and the YCbCr<->RGB
-transforms are whole-array numpy.  Inside extract_features this runs per
-Arrow batch under mapInPandas, so executors decode many images per
-Python round-trip.
+Scale shape — two entropy-decode paths:
 
-Boundary: progressive (SOF2), 12-bit, arithmetic coding, subsampled
-chroma and restart intervals raise NotImplementedError — parse-level
-rejection, not silent corruption.  The encoder emits none of those.
+* scalar: a 16-bit-peek LUT walk (a few int ops per symbol — the same
+  structure every native decoder has), used for streams that decode as a
+  single sequential chain (no/few restart markers).
+* vectorized: restart segments are independent decode chains with known
+  byte-aligned starts, so ALL segments — across every image of an Arrow
+  batch at once (`decode_jpeg_batch`) — advance one symbol per numpy
+  step as parallel cursors: one windowed-bits gather, one stacked-LUT
+  gather, vectorized sign-extension and scatter into a single flat
+  coefficient buffer.  Per-symbol Python disappears; the step count is
+  the symbol count of the BUSIEST segment, not the sum.
+
+Everything per-BLOCK was already vectorized: forward/inverse DCT are two
+einsum contractions over the (n_blocks, 8, 8) stack, quantization and the
+YCbCr<->RGB transforms are whole-array numpy.  Inside extract_features
+this runs per Arrow batch under mapInPandas, so executors decode many
+images per Python round-trip and the batch decoder sees thousands of
+cursors even when individual images are small.
+
+Boundary: progressive (SOF2), 12-bit, arithmetic coding and 16-bit quant
+tables raise NotImplementedError — parse-level rejection, not silent
+corruption.  The encoder emits none of those.
 """
 
 from __future__ import annotations
 
+import re
 import struct
 from functools import lru_cache
 
@@ -102,6 +115,9 @@ for _u in range(8):
     _a = np.sqrt(1.0 / 8.0) if _u == 0 else np.sqrt(2.0 / 8.0)
     _C[_u] = _a * np.cos((2 * np.arange(8) + 1) * _u * np.pi / 16.0)
 
+# luma (h, v) sampling factors per mode; chroma is always (1, 1)
+_SAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
 
 def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
     quality = min(max(int(quality), 1), 100)
@@ -123,18 +139,24 @@ def _canonical_codes(counts, symbols):
 
 
 def _decode_tables(counts, symbols):
-    """Flat 16-bit-peek LUT for the decoder (the classic fast path built
-    from T.81 F.16's canonical ordering): entry[peek16] = (len << 8) | sym
-    for every 16-bit window whose prefix is the code; 0 = invalid prefix.
-    One list lookup replaces the per-bit tree walk — the per-symbol cost
-    that dominated the baseline scan decode.  Cached on the table bytes:
-    real encoders (ours included) reuse the Annex K tables, so a decode
-    fleet builds each 64 K-entry list once per process, not per image."""
+    """Flat 16-bit-peek LUT for the scalar decoder (the classic fast path
+    built from T.81 F.16's canonical ordering): entry[peek16] =
+    (len << 8) | sym for every 16-bit window whose prefix is the code;
+    0 = invalid prefix.  Cached on the table bytes: real encoders (ours
+    included) reuse the Annex K tables, so a decode fleet builds each
+    64 K-entry list once per process, not per image."""
     return _decode_tables_cached(bytes(counts), bytes(symbols))
 
 
 @lru_cache(maxsize=64)
 def _decode_tables_cached(counts: bytes, symbols: bytes):
+    return _decode_tables_np(counts, symbols).tolist()
+
+
+@lru_cache(maxsize=64)
+def _decode_tables_np(counts: bytes, symbols: bytes) -> np.ndarray:
+    """numpy int32 variant of the 16-bit-peek LUT (the vectorized decoder
+    gathers from stacked copies of these)."""
     lut = np.zeros(1 << 16, np.int32)
     code, k = 0, 0
     for ln in range(1, 17):
@@ -145,7 +167,7 @@ def _decode_tables_cached(counts: bytes, symbols: bytes):
             code += 1
             k += 1
         code <<= 1
-    return lut.tolist()
+    return lut
 
 
 class _BitWriter:
@@ -183,84 +205,137 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 def _blocks_of(plane: np.ndarray) -> np.ndarray:
-    """(h, w) -> (n_blocks, 8, 8) in raster MCU order; h, w multiples of 8."""
+    """(h, w) -> (n_blocks, 8, 8) in raster order; h, w multiples of 8."""
     h, w = plane.shape
     return (plane.reshape(h // 8, 8, w // 8, 8)
             .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+# ---------------------------------------------------------------- encoder
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsampling: str = "444",
+                restart_interval: "int | str | None" = None) -> bytes:
     """Baseline JFIF encoder: 8-bit gray (h,w)/(h,w,1) or RGB (h,w,3),
-    4:4:4, Annex K tables scaled by `quality`."""
+    Annex K tables scaled by `quality`.
+
+    subsampling: '444' (one block per component per MCU — the historical
+    default, byte-identical to round-4 output), '422' or '420' (luma
+    sampling factors 2x1 / 2x2, chroma box-mean-downsampled — the
+    dominant wild-crawl layout).  Ignored for grayscale input.
+
+    restart_interval: None (no DRI/RSTn — single entropy chain), an int
+    (MCUs per restart interval), or 'row' (one interval per MCU row —
+    the common libjpeg error-resilience setting).  Restart markers make
+    segments independently decodable, which is what the vectorized batch
+    decoder parallelizes over."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[:, :, 0]
     gray = img.ndim == 2
     h, w = img.shape[:2]
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    hs, vs = (1, 1) if gray else _SAMPLING[subsampling]
+    mw, mh = 8 * hs, 8 * vs             # MCU size in luma pixels
+    ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
     if gray:
-        comps = [img.astype(np.float64)]
+        planes = [np.pad(img.astype(np.float64),
+                         ((0, ph - h), (0, pw - w)), mode="edge")]
+        samp = [(1, 1)]
     else:
         x = img.astype(np.float64)
         r, g, b = x[..., 0], x[..., 1], x[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        comps = [y, cb, cr]
+        pads = ((0, ph - h), (0, pw - w))
+        y = np.pad(y, pads, mode="edge")
+        cb = np.pad(cb, pads, mode="edge")
+        cr = np.pad(cr, pads, mode="edge")
+        if (hs, vs) != (1, 1):
+            # box-mean chroma downsample on the padded plane (dims are
+            # multiples of 8*hs x 8*vs, so the result is block-aligned)
+            cb = cb.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+            cr = cr.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+        samp = [(hs, vs), (1, 1), (1, 1)]
     qts = [_scaled_qt(QT_LUM, quality), _scaled_qt(QT_CHROM, quality)]
     qt_of = [0] if gray else [0, 1, 1]
-    # per-component quantized zigzag coefficients, vectorized per block
-    coefs = []
-    for ci, plane in enumerate(comps):
-        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
-        blocks = _blocks_of(p) - 128.0
+    mcux, mcuy = pw // mw, ph // mh
+    nmcu = mcux * mcuy
+    # per-component quantized zigzag coefficients, vectorized per block,
+    # in component-raster block order; bw_i columns of blocks
+    coefs, bws = [], []
+    for ci, plane in enumerate(planes):
+        blocks = _blocks_of(plane) - 128.0
         dct = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
         q = qts[qt_of[ci]].reshape(8, 8).astype(np.float64)
         qz = np.round(dct / q).astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
         coefs.append(qz)
+        bws.append(plane.shape[1] // 8)
 
     dc_tbl = [_canonical_codes(*DC_LUM), _canonical_codes(*DC_CHROM)]
     ac_tbl = [_canonical_codes(*AC_LUM), _canonical_codes(*AC_CHROM)]
     t_of = [0] if gray else [0, 1, 1]
-    bw = _BitWriter()
-    prev_dc = [0] * len(comps)
-    for n in range(coefs[0].shape[0]):
-        for ci in range(len(comps)):
-            block = coefs[ci][n]
-            dct_, act_ = dc_tbl[t_of[ci]], ac_tbl[t_of[ci]]
-            diff = int(block[0]) - prev_dc[ci]
-            prev_dc[ci] = int(block[0])
-            s, bits = _magnitude(diff)
-            code, ln = dct_[s]
-            bw.write(code, ln)
-            if s:
-                bw.write(bits, s)
+    ri = mcux if restart_interval == "row" else (restart_interval or 0)
+    ri = int(ri)
+
+    scan = bytearray()
+    bw_ = _BitWriter()
+    prev_dc = [0] * len(planes)
+    rst = 0
+
+    def emit_block(block, dct_, act_, prev):
+        diff = int(block[0]) - prev
+        s, bits = _magnitude(diff)
+        code, ln = dct_[s]
+        bw_.write(code, ln)
+        if s:
+            bw_.write(bits, s)
+        run = 0
+        nz = np.nonzero(block[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(block[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = act_[0xF0]
+                bw_.write(code, ln)
+                run -= 16
+            s, bits = _magnitude(v)
+            code, ln = act_[(run << 4) | s]
+            bw_.write(code, ln)
+            bw_.write(bits, s)
             run = 0
-            nz = np.nonzero(block[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(block[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = act_[0xF0]
-                    bw.write(code, ln)
-                    run -= 16
-                s, bits = _magnitude(v)
-                code, ln = act_[(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(bits, s)
-                run = 0
-            if last < 63:
-                code, ln = act_[0x00]   # EOB
-                bw.write(code, ln)
-    bw.flush()
+        if last < 63:
+            code, ln = act_[0x00]   # EOB
+            bw_.write(code, ln)
+        return int(block[0])
+
+    for m in range(nmcu):
+        if ri and m and m % ri == 0:
+            bw_.flush()
+            scan += bw_.buf
+            scan += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            bw_ = _BitWriter()
+            prev_dc = [0] * len(planes)
+        my, mx = divmod(m, mcux)
+        for ci, (hi, vi) in enumerate(samp):
+            for by in range(vi):
+                for bx in range(hi):
+                    idx = (my * vi + by) * bws[ci] + mx * hi + bx
+                    prev_dc[ci] = emit_block(
+                        coefs[ci][idx], dc_tbl[t_of[ci]], ac_tbl[t_of[ci]],
+                        prev_dc[ci])
+    bw_.flush()
+    scan += bw_.buf
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
-    ncomp = len(comps)
+    ncomp = len(planes)
     out = [b"\xff\xd8"]
     out.append(seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
     dqt = b"\x00" + bytes(int(v) for v in qts[0][ZIGZAG])
@@ -269,7 +344,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     out.append(seg(0xFFDB, dqt))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, qt_of[ci]])
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qt_of[ci]])
     out.append(seg(0xFFC0, sof))
     dht = b""
     for tc, th, (counts, syms) in (
@@ -278,33 +354,62 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     ):
         dht += bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms)
     out.append(seg(0xFFC4, dht))
+    if ri:
+        out.append(seg(0xFFDD, struct.pack(">H", ri)))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         t = t_of[ci]
         sos += bytes([ci + 1, (t << 4) | t])
     sos += b"\x00\x3f\x00"
     out.append(seg(0xFFDA, sos))
-    out.append(bytes(bw.buf))
+    out.append(bytes(scan))
     out.append(b"\xff\xd9")
     return b"".join(out)
 
 
-def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline decoder -> uint8 (h, w, c) with c in {1, 3}."""
+# ---------------------------------------------------------------- parser
+
+_RST_SPLIT = re.compile(b"\xff[\xd0-\xd7]")
+
+
+class _Parsed:
+    """Header-parsed baseline JPEG, ready for entropy decode."""
+
+    __slots__ = ("h", "w", "comps", "qts", "huff_raw", "tsel", "ri",
+                 "segments", "seg_mcus", "hmax", "vmax", "mcux", "mcuy",
+                 "layout", "nblk", "bws", "bhs")
+
+
+def _parse_jpeg(buf: bytes) -> _Parsed:
+    """Marker walk + scan split.  Raises NotImplementedError at the
+    documented codec boundaries (progressive, 12-bit, 16-bit quant)."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     pos = 2
-    qts: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], tuple] = {}
+    p = _Parsed()
+    p.qts = {}
+    p.huff_raw = {}
+    p.ri = 0
     sof = None
-    scan = None
+    scan_raw = None
     comps_sos = None
-    while pos + 4 <= len(buf):
+    while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: any marker may be preceded by fill bytes (0xFF).
+        while pos + 2 <= len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(buf):
+            break
         marker = (buf[pos] << 8) | buf[pos + 1]
         if marker == 0xFFD9:
             break
+        if 0xFFD0 <= marker <= 0xFFD7 or marker == 0xFF01:
+            # standalone markers (RSTn/TEM) carry no length segment
+            pos += 2
+            continue
+        if pos + 4 > len(buf):
+            raise ValueError("truncated JPEG marker segment")
         (ln,) = struct.unpack_from(">H", buf, pos + 2)
         body = buf[pos + 4:pos + 2 + ln]
         pos += 2 + ln
@@ -315,7 +420,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables")
                 z = np.frombuffer(body[o + 1:o + 65], np.uint8).astype(np.int32)
-                qts[tq] = z[UNZIGZAG]
+                p.qts[tq] = z[UNZIGZAG]
                 o += 65
         elif marker == 0xFFC0:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -324,10 +429,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
-                if hv != 0x11:
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled chroma (only 4:4:4 supported)")
-                comps.append((cid, tq))
+                        f"sampling factors {hi}x{vi} (supported: 1-2)")
+                comps.append((cid, hi, vi, tq))
             sof = (h, w, comps)
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
@@ -337,118 +443,375 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             o = 0
             while o < len(body):
                 tc, th = body[o] >> 4, body[o] & 0xF
-                counts = list(body[o + 1:o + 17])
+                counts = bytes(body[o + 1:o + 17])
                 n = sum(counts)
-                syms = list(body[o + 17:o + 17 + n])
-                huff[(tc, th)] = _decode_tables(counts, syms)
+                syms = bytes(body[o + 17:o + 17 + n])
+                p.huff_raw[(tc, th)] = (counts, syms)
                 o += 17 + n
         elif marker == 0xFFDD:
-            raise NotImplementedError("restart intervals")
+            (p.ri,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xFFDA:
             nc = body[0]
             comps_sos = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
                           body[2 + 2 * i] & 0xF) for i in range(nc)]
-            # entropy-coded data runs from here to EOI; unstuff FF00
+            # entropy-coded data runs from here to EOI
             raw = buf[pos:]
             end = raw.find(b"\xff\xd9")
             if end < 0:
                 end = len(raw)
-            scan = raw[:end].replace(b"\xff\x00", b"\xff")
+            scan_raw = raw[:end]
             break
-    if sof is None or scan is None:
+    if sof is None or scan_raw is None:
         raise ValueError("JPEG missing SOF/SOS")
-    h, w, comps = sof
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    nb = (ph // 8) * (pw // 8)
-    ncomp = len(comps)
-    tsel = {cid: (td, ta) for cid, td, ta in comps_sos}
-    tabs = [(huff[(0, tsel[cid][0])], huff[(1, tsel[cid][1])])
-            for cid, _tq in comps]
-    # Entropy decode with a 16-bit-peek LUT per symbol and a 48-bit-max
-    # int accumulator refilled 32 bits at a time (zero-padded past EOI per
-    # T.81 F.2.2.5's 1-bit convention relaxed to 0 — padding is only ever
-    # consumed after the last block's EOB).  Blocks buffered as Python
-    # lists (scalar list stores beat numpy item writes ~4x); one
-    # np.array per component at the end.
+    p.h, p.w, p.comps = sof
+    p.tsel = {cid: (td, ta) for cid, td, ta in comps_sos}
+    p.hmax = max(c[1] for c in p.comps)
+    p.vmax = max(c[2] for c in p.comps)
+    p.mcux = -(-p.w // (8 * p.hmax))
+    p.mcuy = -(-p.h // (8 * p.vmax))
+    nmcu = p.mcux * p.mcuy
+    # MCU block layout: (ci, within-MCU offset) per block, T.81 A.2.3 order
+    p.layout = []
+    p.nblk = []
+    p.bws = []
+    p.bhs = []
+    for ci, (_cid, hi, vi, _tq) in enumerate(p.comps):
+        for by in range(vi):
+            for bx in range(hi):
+                p.layout.append((ci, by * hi + bx))
+        p.nblk.append(hi * vi)
+        p.bws.append(p.mcux * hi)
+        p.bhs.append(p.mcuy * vi)
+    # split scan on restart markers (stuffed data never contains FFD0-D7),
+    # then unstuff each segment independently
+    segs = (_RST_SPLIT.split(scan_raw) if p.ri else [scan_raw])
+    p.segments = [s.replace(b"\xff\x00", b"\xff") for s in segs]
+    if p.ri:
+        want = -(-nmcu // p.ri)
+        if len(p.segments) != want:
+            raise ValueError(
+                f"restart segment count {len(p.segments)} != expected {want}")
+        p.seg_mcus = [p.ri] * (want - 1) + [nmcu - p.ri * (want - 1)]
+    else:
+        p.seg_mcus = [nmcu]
+    return p
+
+
+# ------------------------------------------------------- scalar entropy
+
+def _entropy_scalar(p: _Parsed) -> list:
+    """Sequential LUT-walk entropy decode -> per-component (n_blocks, 64)
+    int32 coefficient arrays in MCU-major block order."""
+    tabs = []
+    for cid, _hi, _vi, _tq in p.comps:
+        td, ta = p.tsel[cid]
+        tabs.append((_decode_tables(*p.huff_raw[(0, td)]),
+                     _decode_tables(*p.huff_raw[(1, ta)])))
+    ncomp = len(p.comps)
     blocks: list[list[list[int]]] = [[] for _ in range(ncomp)]
-    prev_dc = [0] * ncomp
-    data = scan
-    pos = 0
-    acc = 0
-    nbits = 0
-    for _n in range(nb):
-        for ci in range(ncomp):
-            dc_lut, ac_lut = tabs[ci]
-            block = [0] * 64
-            blocks[ci].append(block)
-            if nbits < 16:
-                acc = (acc << 32) | int.from_bytes(
-                    data[pos:pos + 4].ljust(4, b"\x00"), "big")
-                pos += 4
-                nbits += 32
-                acc &= (1 << nbits) - 1
-            e = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
-            if e == 0:
-                raise ValueError("corrupt JPEG: Huffman code overflow")
-            nbits -= e >> 8
-            s = e & 0xFF
-            if s:
-                if nbits < s:
-                    acc = (acc << 32) | int.from_bytes(
-                        data[pos:pos + 4].ljust(4, b"\x00"), "big")
-                    pos += 4
-                    nbits += 32
-                    acc &= (1 << nbits) - 1
-                v = (acc >> (nbits - s)) & ((1 << s) - 1)
-                nbits -= s
-                if v < (1 << (s - 1)):
-                    v += 1 - (1 << s)
-                prev_dc[ci] += v
-            block[0] = prev_dc[ci]
-            k = 1
-            while k < 64:
+    for seg_i, data in enumerate(p.segments):
+        prev_dc = [0] * ncomp
+        pos = 0
+        acc = 0
+        nbits = 0
+        for _m in range(p.seg_mcus[seg_i]):
+            for ci, _ofs in p.layout:
+                dc_lut, ac_lut = tabs[ci]
+                block = [0] * 64
+                blocks[ci].append(block)
                 if nbits < 16:
                     acc = (acc << 32) | int.from_bytes(
                         data[pos:pos + 4].ljust(4, b"\x00"), "big")
                     pos += 4
                     nbits += 32
                     acc &= (1 << nbits) - 1
-                e = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                e = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
                 if e == 0:
                     raise ValueError("corrupt JPEG: Huffman code overflow")
                 nbits -= e >> 8
-                rs = e & 0xFF
-                if rs == 0x00:
-                    break
-                if rs == 0xF0:
-                    k += 16
-                    continue
-                k += rs >> 4
-                s = rs & 0xF
-                if k > 63:
-                    raise ValueError("corrupt JPEG: AC index overflow")
-                if nbits < s:
-                    acc = (acc << 32) | int.from_bytes(
-                        data[pos:pos + 4].ljust(4, b"\x00"), "big")
-                    pos += 4
-                    nbits += 32
-                    acc &= (1 << nbits) - 1
-                v = (acc >> (nbits - s)) & ((1 << s) - 1)
-                nbits -= s
-                if v < (1 << (s - 1)):
-                    v += 1 - (1 << s)
-                block[k] = v
-                k += 1
+                s = e & 0xFF
+                if s:
+                    if nbits < s:
+                        acc = (acc << 32) | int.from_bytes(
+                            data[pos:pos + 4].ljust(4, b"\x00"), "big")
+                        pos += 4
+                        nbits += 32
+                        acc &= (1 << nbits) - 1
+                    v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                    nbits -= s
+                    if v < (1 << (s - 1)):
+                        v += 1 - (1 << s)
+                    prev_dc[ci] += v
+                block[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    if nbits < 16:
+                        acc = (acc << 32) | int.from_bytes(
+                            data[pos:pos + 4].ljust(4, b"\x00"), "big")
+                        pos += 4
+                        nbits += 32
+                        acc &= (1 << nbits) - 1
+                    e = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                    if e == 0:
+                        raise ValueError("corrupt JPEG: Huffman code overflow")
+                    nbits -= e >> 8
+                    rs = e & 0xFF
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    s = rs & 0xF
+                    if k > 63:
+                        raise ValueError("corrupt JPEG: AC index overflow")
+                    if nbits < s:
+                        acc = (acc << 32) | int.from_bytes(
+                            data[pos:pos + 4].ljust(4, b"\x00"), "big")
+                        pos += 4
+                        nbits += 32
+                        acc &= (1 << nbits) - 1
+                    v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                    nbits -= s
+                    if v < (1 << (s - 1)):
+                        v += 1 - (1 << s)
+                    block[k] = v
+                    k += 1
+    return [np.array(b, np.int32) if b else np.zeros((0, 64), np.int32)
+            for b in blocks]
+
+
+# --------------------------------------------------- vectorized entropy
+
+_M27 = np.uint64((1 << 27) - 1)
+
+
+def _entropy_batch(plist: list) -> list:
+    """Multi-cursor vectorized entropy decode: every restart segment of
+    every image is an independent decode chain with a byte-aligned start,
+    so all of them advance ONE symbol per numpy step — a windowed-bits
+    gather from a shared 40-bit-per-byte view, one stacked-LUT gather,
+    vectorized magnitude sign-extension, and a scatter into one flat
+    coefficient buffer per image.  The Python step loop runs
+    max-symbols-per-segment times, independent of how many cursors ride
+    it; per-symbol Python cost goes to ~zero as cursor count grows
+    (restart-marked images and/or whole Arrow batches).
+
+    Input: list of _Parsed.  Output: per image, per component,
+    (n_blocks, 64) int32 coefficient arrays in MCU-major order —
+    bit-identical to _entropy_scalar."""
+    # --- unique LUT stack
+    lut_ids: dict[tuple, int] = {}
+    lut_list: list[np.ndarray] = []
+
+    def lid_of(raw):
+        key = raw
+        i = lut_ids.get(key)
+        if i is None:
+            i = len(lut_list)
+            lut_ids[key] = i
+            lut_list.append(_decode_tables_np(*raw))
+        return i
+
+    nimg = len(plist)
+    maxc = max(len(p.comps) for p in plist)
+    dsel = np.zeros((nimg, maxc), np.int32)
+    asel = np.zeros((nimg, maxc), np.int32)
+    maxl = max(len(p.layout) for p in plist)
+    layci = np.zeros((nimg, maxl), np.int32)
+    layofs = np.zeros((nimg, maxl), np.int32)
+    laynb = np.zeros((nimg, maxl), np.int64)     # nblk of that entry's comp
+    laylen = np.zeros(nimg, np.int64)
+    cbase = np.zeros((nimg, maxc), np.int64)     # flat coef offsets
+    total_coef = 0
+    for ii, p in enumerate(plist):
+        for ci, (cid, _hi, _vi, _tq) in enumerate(p.comps):
+            td, ta = p.tsel[cid]
+            dsel[ii, ci] = lid_of(p.huff_raw[(0, td)])
+            asel[ii, ci] = lid_of(p.huff_raw[(1, ta)])
+            cbase[ii, ci] = total_coef
+            total_coef += p.mcux * p.mcuy * p.nblk[ci] * 64
+        laylen[ii] = len(p.layout)
+        for li, (ci, ofs) in enumerate(p.layout):
+            layci[ii, li] = ci
+            layofs[ii, li] = ofs
+            laynb[ii, li] = p.nblk[ci]
+    luts = np.stack(lut_list)                    # (n_luts, 65536)
+    coef = np.zeros(total_coef, np.int32)
+
+    # --- concatenated segment buffer + 40-bit windows per byte
+    parts = []
+    cursors = []        # (img, start_bit, mcu0, mcu_count)
+    off = 0
+    for ii, p in enumerate(plist):
+        mcu0 = 0
+        for s, data in enumerate(p.segments):
+            cursors.append((ii, off * 8, mcu0, p.seg_mcus[s]))
+            mcu0 += p.seg_mcus[s]
+            parts.append(data)
+            off += len(data)
+    parts.append(b"\x00" * 8)
+    concat = b"".join(parts)
+    b = np.frombuffer(concat, np.uint8).astype(np.uint64)
+    v40 = ((b[:-4] << np.uint64(32)) | (b[1:-3] << np.uint64(24))
+           | (b[2:-2] << np.uint64(16)) | (b[3:-1] << np.uint64(8)) | b[4:])
+    maxbit = np.int64((len(concat) - 8) * 8)
+
+    S = len(cursors)
+    img = np.array([c[0] for c in cursors], np.int64)
+    pos = np.array([c[1] for c in cursors], np.int64)
+    mcuno = np.array([c[2] for c in cursors], np.int64)
+    mleft = np.array([c[3] for c in cursors], np.int64)
+    li = np.zeros(S, np.int64)
+    k = np.zeros(S, np.int64)                     # 0 = DC next, 1..63 AC
+    prevdc = np.zeros((S, maxc), np.int64)
+    ci = layci[img, 0].astype(np.int64)
+    bbase = (cbase[img, ci]
+             + (mcuno * laynb[img, 0] + layofs[img, 0]) * 64)
+    active = mleft > 0
+    err = np.zeros(S, bool)
+    ar = np.arange(S)
+    # each step consumes >= 1 bit per active cursor, plus block bookkeeping
+    max_steps = int(8 * max(len(p2) for p2 in
+                            [s2 for p3 in plist for s2 in p3.segments] or [b""])
+                    ) + 64 * 8 + 64
+    steps = 0
+    while active.any():
+        steps += 1
+        if steps > max_steps:
+            err |= active
+            break
+        ia = np.nonzero(active)[0]
+        pp = pos[ia]
+        # runaway guard only: window reads may legally overlap the final
+        # pad bytes (v40 is padded), so flag only positions past the data
+        bad = pp > maxbit
+        if bad.any():
+            err[ia[bad]] = True
+            active[ia[bad]] = False
+            ia = ia[~bad]
+            if not len(ia):
+                continue
+            pp = pos[ia]
+        w27 = ((v40[pp >> 3] >> (np.uint64(13) - (pp & 7).astype(np.uint64)))
+               & _M27).astype(np.int64)
+        isdc = k[ia] == 0
+        tsel_ = np.where(isdc, dsel[img[ia], ci[ia]], asel[img[ia], ci[ia]])
+        e = luts[tsel_, w27 >> 11]
+        inv = e == 0
+        if inv.any():
+            err[ia[inv]] = True
+            active[ia[inv]] = False
+            ia = ia[~inv]
+            if not len(ia):
+                continue
+            w27, isdc, tsel_, e = w27[~inv], isdc[~inv], tsel_[~inv], e[~inv]
+        codelen = (e >> 8).astype(np.int64)
+        sym = (e & 0xFF).astype(np.int64)
+        s = np.where(isdc, sym, sym & 0xF)
+        vbits = (w27 >> (27 - codelen - s)) & ((np.int64(1) << s) - 1)
+        half = (np.int64(1) << s) >> 1
+        v = np.where(s > 0,
+                     np.where(vbits < half,
+                              vbits + 1 - (np.int64(1) << s), vbits),
+                     0)
+        pos[ia] += codelen + s
+        done_blk = np.zeros(len(ia), bool)
+        # DC symbols
+        if isdc.any():
+            di = ia[isdc]
+            prevdc[di, ci[di]] += v[isdc]
+            coef[bbase[di]] = prevdc[di, ci[di]]
+            k[di] = 1
+        # AC symbols
+        isac = ~isdc
+        if isac.any():
+            aidx = ia[isac]
+            rs = sym[isac]
+            eob = rs == 0
+            zrl = rs == 0xF0
+            norm = ~eob & ~zrl
+            if zrl.any():
+                k[aidx[zrl]] += 16
+                over = k[aidx] > 63
+                over &= zrl
+                if over.any():
+                    err[aidx[over]] = True
+                    active[aidx[over]] = False
+            if norm.any():
+                ni = aidx[norm]
+                k2 = k[ni] + (rs[norm] >> 4)
+                bad2 = k2 > 63
+                if bad2.any():
+                    err[ni[bad2]] = True
+                    active[ni[bad2]] = False
+                    ok = ~bad2
+                    ni, k2 = ni[ok], k2[ok]
+                    vn = v[isac][norm][ok]
+                else:
+                    vn = v[isac][norm]
+                coef[bbase[ni] + k2] = vn
+                k[ni] = k2 + 1
+            db = eob | (k[aidx] >= 64)
+            done_blk[isac] = db & active[aidx]
+        # block transitions
+        if done_blk.any():
+            ti = ia[done_blk]
+            li[ti] += 1
+            wrap = li[ti] >= laylen[img[ti]]
+            wi = ti[wrap]
+            if len(wi):
+                li[wi] = 0
+                mcuno[wi] += 1
+                mleft[wi] -= 1
+                fin = mleft[wi] == 0
+                active[wi[fin]] = False
+            live = ti[active[ti]]
+            if len(live):
+                ci[live] = layci[img[live], li[live]]
+                bbase[live] = (cbase[img[live], ci[live]]
+                               + (mcuno[live] * laynb[img[live], li[live]]
+                                  + layofs[img[live], li[live]]) * 64)
+                k[live] = 0
+    if err.any():
+        bad_imgs = sorted(set(img[err].tolist()))
+        raise ValueError(f"corrupt JPEG in batch decode (images {bad_imgs})")
+    # --- slice per image/comp
+    out = []
+    for ii, p in enumerate(plist):
+        comps = []
+        for ci2 in range(len(p.comps)):
+            n = p.mcux * p.mcuy * p.nblk[ci2]
+            a = coef[cbase[ii, ci2]:cbase[ii, ci2] + n * 64]
+            comps.append(a.reshape(n, 64))
+        out.append(comps)
+    return out
+
+
+# ------------------------------------------------------- reconstruction
+
+def _reconstruct(p: _Parsed, comps_coef: list) -> np.ndarray:
+    """Dequantize + IDCT + MCU-major -> raster reorder + chroma upsample
+    + color transform -> uint8 (h, w, c)."""
     planes = []
-    for ci, (_cid, tq) in enumerate(comps):
-        z = np.array(blocks[ci], np.int32)[:, UNZIGZAG].reshape(
-            -1, 8, 8).astype(np.float64)
-        z *= qts[tq].reshape(8, 8)
+    for ci, (_cid, hi, vi, tq) in enumerate(p.comps):
+        z = comps_coef[ci][:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+        z *= p.qts[tq].reshape(8, 8)
         sp = np.einsum("xu,nuv,yv->nxy", _C.T, z, _C.T)
-        plane = (sp.reshape(ph // 8, pw // 8, 8, 8)
-                 .transpose(0, 2, 1, 3).reshape(ph, pw)) + 128.0
-        planes.append(plane[:h, :w])
-    if ncomp == 1:
+        # MCU-major (mcuy, mcux, vi, hi, 8, 8) -> plane raster
+        plane = (sp.reshape(p.mcuy, p.mcux, vi, hi, 8, 8)
+                 .transpose(0, 2, 4, 1, 3, 5)
+                 .reshape(p.mcuy * vi * 8, p.mcux * hi * 8)) + 128.0
+        ch = -(-p.h * vi // p.vmax)
+        cw = -(-p.w * hi // p.hmax)
+        plane = plane[:ch, :cw]
+        ry, rx = p.vmax // vi, p.hmax // hi
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:p.h, :p.w])
+    if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
     y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
@@ -456,3 +819,49 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     out = np.stack([r, g, b], axis=2)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+_VEC_MIN_CURSORS = 200
+_VEC_MIN_GAIN = 24
+
+
+def _use_vectorized(plist: list) -> bool:
+    """The vectorized path costs a fixed ~100us of numpy dispatch per STEP
+    (one symbol across every cursor), and runs max-symbols-per-segment
+    steps; the scalar walk costs ~0.5us per symbol TOTAL.  So vectorize
+    only when there are enough cursors to amortize the step cost AND the
+    busiest segment is a small share of the total work (measured 512x512:
+    4096 cursors -> 6x faster, 64 cursors -> 3x slower)."""
+    segs = [len(s) for p in plist for s in p.segments]
+    if len(segs) < _VEC_MIN_CURSORS:
+        return False
+    return sum(segs) >= _VEC_MIN_GAIN * max(segs)
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline decoder -> uint8 (h, w, c) with c in {1, 3}.  Streams with
+    many restart segments take the vectorized multi-cursor path; short or
+    single-chain streams take the scalar LUT walk (lower constant)."""
+    p = _parse_jpeg(buf)
+    if _use_vectorized([p]):
+        coefs = _entropy_batch([p])[0]
+    else:
+        coefs = _entropy_scalar(p)
+    return _reconstruct(p, coefs)
+
+
+def decode_jpeg_batch(bufs: list) -> list:
+    """Decode many JPEGs at once: headers parse per image (cheap Python),
+    then ALL entropy segments across the batch decode as one vectorized
+    cursor fleet — the per-Arrow-batch shape extract_features feeds.
+    Returns a list of uint8 (h, w, c) arrays, index-aligned with `bufs`.
+    Raises (ValueError/NotImplementedError) on the first unparseable or
+    corrupt stream, matching per-image decode_jpeg semantics."""
+    plist = [_parse_jpeg(bytes(b)) for b in bufs]
+    if not plist:
+        return []
+    if _use_vectorized(plist):
+        all_coefs = _entropy_batch(plist)
+    else:
+        all_coefs = [_entropy_scalar(p) for p in plist]
+    return [_reconstruct(p, c) for p, c in zip(plist, all_coefs)]

@@ -362,7 +362,186 @@ def _avi_frame_chunks(buf: bytes) -> tuple[list[tuple[int, int]], int]:
                 frames.append((body_at, ln))
             pos = body_at + ln + (ln & 1)
 
-    walk(12, 12 + struct.unpack_from("<I", buf, 4)[0])
+    # RIFF size counts from offset 8 (it includes the 4-byte 'AVI ' form
+    # type), so the payload ends at 8 + size — clamped to the buffer so a
+    # stream with trailing bytes never reads a garbage chunk header.
+    walk(12, min(len(buf), 8 + struct.unpack_from("<I", buf, 4)[0]))
+    return frames, fps
+
+
+def encode_mp4_mjpeg(frames: list, fps: int = 10,
+                     samples_per_chunk: int = 2) -> bytes:
+    """Minimal ISO-BMFF (MP4) writer with motion-JPEG samples — the
+    dominant wild video container.  Layout: ftyp + mdat (the JPEG frames,
+    `samples_per_chunk` per chunk so the stsc walk is non-trivial) + moov
+    with a real sample table: stsd('jpeg'), stts, stsc, stsz, stco.
+    Frame seek therefore exercises the same stsz/stsc/stco arithmetic a
+    real demuxer runs."""
+    from resolve_overlap_and_gap_spark.operators.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("no frames")
+    h, w = np.asarray(frames[0]).shape[:2]
+    payloads = [encode_jpeg(np.asarray(f, np.uint8), quality=90)
+                for f in frames]
+    n = len(payloads)
+
+    def box(tag: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data) + 8) + tag + data
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat_payload = b"".join(payloads)
+    mdat = box(b"mdat", mdat_payload)
+    # chunk offsets are absolute file offsets into mdat's payload
+    base = len(ftyp) + 8
+    sizes = [len(p) for p in payloads]
+    chunk_offsets = []
+    off = base
+    for i in range(0, n, samples_per_chunk):
+        chunk_offsets.append(off)
+        off += sum(sizes[i:i + samples_per_chunk])
+    nchunks = len(chunk_offsets)
+    dur = n * 1000 // fps      # timescale 1000
+
+    stsd = box(b"stsd", struct.pack(">II", 0, 1) + box(
+        b"jpeg",
+        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+        + struct.pack(">HH", w, h) + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">IH", 0, 1) + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)))
+    stts = box(b"stts", struct.pack(">III I", 0, 1, n, 1000 // fps))
+    # stsc: one entry when every chunk is full, plus a trailer entry when
+    # the last chunk is short (first_chunk, samples_per_chunk, desc_id)
+    ents = [(1, min(samples_per_chunk, n), 1)]
+    rem = n % samples_per_chunk
+    if rem and n > samples_per_chunk:
+        ents.append((nchunks, rem, 1))
+    stsc = box(b"stsc", struct.pack(">II", 0, len(ents))
+               + b"".join(struct.pack(">III", *e) for e in ents))
+    stsz = box(b"stsz", struct.pack(">III", 0, 0, n)
+               + b"".join(struct.pack(">I", s) for s in sizes))
+    stco = box(b"stco", struct.pack(">II", 0, nchunks)
+               + b"".join(struct.pack(">I", o) for o in chunk_offsets))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = box(b"dinf", box(b"dref", struct.pack(">II", 0, 1)
+                            + box(b"url ", struct.pack(">I", 1))))
+    vmhd = box(b"vmhd", struct.pack(">IHHHH", 1, 0, 0, 0, 0))
+    minf = box(b"minf", vmhd + dinf + stbl)
+    hdlr = box(b"hdlr", struct.pack(">II", 0, 0) + b"vide"
+               + b"\x00" * 12 + b"MJPEG\x00")
+    mdhd = box(b"mdhd", struct.pack(">IIIIIHH", 0, 0, 0, 1000, dur, 0x55C4, 0))
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = box(b"tkhd", struct.pack(">IIIII", 7, 0, 0, 1, 0)
+               + struct.pack(">I", dur) + b"\x00" * 8
+               + struct.pack(">HHHH", 0, 0, 0, 0)
+               + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                             0x40000000)
+               + struct.pack(">II", w << 16, h << 16))
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, 1000, dur)
+               + struct.pack(">IHH", 0x00010000, 0x0100, 0) + b"\x00" * 8
+               + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                             0x40000000)
+               + b"\x00" * 24 + struct.pack(">I", 2))
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_boxes(buf: bytes, pos: int, end: int):
+    """Yield (tag, body_start, body_end) for the ISO-BMFF boxes in
+    [pos, end); handles 64-bit largesize boxes."""
+    while pos + 8 <= end:
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4:pos + 8]
+        body = pos + 8
+        if ln == 1:
+            (ln64,) = struct.unpack_from(">Q", buf, pos + 8)
+            body, ln = pos + 16, ln64
+        elif ln == 0:
+            ln = end - pos
+        if ln < 8:
+            raise ValueError("corrupt MP4 box length")
+        yield tag, body, min(pos + ln, end)
+        pos += ln
+
+
+def _mp4_frame_chunks(buf: bytes) -> tuple[list[tuple[int, int]], int]:
+    """Real MP4 demuxer arithmetic -> ([(abs_offset, length) per sample],
+    fps): find the video trak, then reconstruct per-sample absolute file
+    offsets from stsz (sizes) x stsc (samples per chunk runs) x stco/co64
+    (chunk offsets) and the rate from stts/mdhd.  Only motion-JPEG sample
+    descriptions ('jpeg'/'mjpa'/'MJPG') decode here; AVC/HEVC/VP9 raise
+    NotImplementedError at the ffmpeg boundary exactly like the AVI path."""
+    if buf[4:8] != b"ftyp":
+        raise ValueError("not an MP4 stream")
+    stbl_found = {}
+    fps = 0
+
+    def walk(pos, end, in_video_trak):
+        nonlocal fps
+        for tag, b0, b1 in _mp4_boxes(buf, pos, end):
+            if tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(b0, b1, in_video_trak or tag == b"trak")
+            elif tag == b"hdlr":
+                if buf[b0 + 8:b0 + 12] != b"vide":
+                    return   # not the video track: skip this trak subtree
+            elif tag == b"mdhd":
+                ver = buf[b0]
+                ts, = struct.unpack_from(">I", buf, b0 + (20 if ver else 12))
+                stbl_found["timescale"] = ts
+            elif tag == b"stsd":
+                fourcc = buf[b0 + 12:b0 + 16]
+                if fourcc not in (b"jpeg", b"mjpa", b"MJPG"):
+                    raise NotImplementedError(
+                        f"non-MJPEG MP4 codec {fourcc!r} (needs ffmpeg)")
+            elif tag == b"stts":
+                (_, cnt) = struct.unpack_from(">II", buf, b0)
+                if cnt:
+                    _, delta = struct.unpack_from(">II", buf, b0 + 8)
+                    stbl_found["delta"] = max(delta, 1)
+            elif tag == b"stsz":
+                _, uniform, n = struct.unpack_from(">III", buf, b0)
+                if uniform:
+                    stbl_found["sizes"] = [uniform] * n
+                else:
+                    stbl_found["sizes"] = list(
+                        struct.unpack_from(f">{n}I", buf, b0 + 12))
+            elif tag == b"stsc":
+                _, cnt = struct.unpack_from(">II", buf, b0)
+                stbl_found["stsc"] = [
+                    struct.unpack_from(">III", buf, b0 + 8 + 12 * i)
+                    for i in range(cnt)]
+            elif tag in (b"stco", b"co64"):
+                _, cnt = struct.unpack_from(">II", buf, b0)
+                fmt = ">Q" if tag == b"co64" else ">I"
+                w_ = 8 if tag == b"co64" else 4
+                stbl_found["chunks"] = [
+                    struct.unpack_from(fmt, buf, b0 + 8 + w_ * i)[0]
+                    for i in range(cnt)]
+
+    walk(0, len(buf), False)
+    sizes = stbl_found.get("sizes")
+    stsc = stbl_found.get("stsc")
+    chunks = stbl_found.get("chunks")
+    if not sizes or not stsc or not chunks:
+        raise ValueError("MP4 missing sample table (stsz/stsc/stco)")
+    ts = stbl_found.get("timescale", 1000)
+    delta = stbl_found.get("delta", ts)
+    fps = ts // max(delta, 1)
+    # expand stsc runs: entry (first_chunk, spc, _) applies to chunks
+    # first_chunk..next_first_chunk-1 (1-based)
+    frames: list[tuple[int, int]] = []
+    si = 0
+    for ei, (first, spc, _d) in enumerate(stsc):
+        last = (stsc[ei + 1][0] - 1) if ei + 1 < len(stsc) else len(chunks)
+        for c in range(first - 1, last):
+            off = chunks[c]
+            for _ in range(spc):
+                if si >= len(sizes):
+                    break
+                frames.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
     return frames, fps
 
 
@@ -375,12 +554,26 @@ VIDEO_FRAME_SCHEMA = T.StructType([
 ])
 
 
+def _video_frame_chunks(buf: bytes) -> tuple[list[tuple[int, int]], int]:
+    """Container sniff: RIFF/AVI or ISO-BMFF/MP4 -> per-frame
+    (offset, length) + fps.  Both walks are parse-only (O(container
+    metadata)); decode happens per sampled frame."""
+    if buf[:4] == b"RIFF":
+        return _avi_frame_chunks(buf)
+    if buf[4:8] == b"ftyp":
+        return _mp4_frame_chunks(buf)
+    raise NotImplementedError("unsupported video container (need ffmpeg)")
+
+
 def synthesize_video(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
-    """Deterministic MJPEG/AVI table: per media_id, 4 + id % 4 constant-
-    color 32x24 frames with pixel value (id*7 + frame*11) % 256.  A
-    constant block is DC-only and reconstructs EXACTLY at quality 90
-    (quant step 3 -> max DC error 3/16 < 1/2), so sampled frame means are
-    integers with a SQL closed form (video_invariants)."""
+    """Deterministic MJPEG video table: per media_id, 4 + id % 4 constant-
+    color 32x24 frames with pixel value (id*7 + frame*11) % 256, wrapped
+    in AVI for even ids and ISO-BMFF/MP4 (real stsz/stsc/stco sample
+    table) for odd ids — the frame-sample pipeline pays BOTH dominant
+    container walks.  A constant block is DC-only and reconstructs
+    EXACTLY at quality 90 (quant step 3 -> max DC error 3/16 < 1/2), so
+    sampled frame means are integers with a SQL closed form
+    (video_invariants), independent of container."""
     base = spark.range(0, n, 1, partitions).select(
         F.col("id").alias("media_id"), F.lit("video").alias("kind"))
 
@@ -391,14 +584,18 @@ def synthesize_video(spark: SparkSession, n: int, partitions: int = 8) -> DataFr
             k = int(m)
             frames = [np.full((24, 32, 3), (k * 7 + f * 11) % 256, np.uint8)
                       for f in range(4 + k % 4)]
-            out.append(encode_avi_mjpeg(frames, fps=10))
+            if k % 2:
+                out.append(encode_mp4_mjpeg(frames, fps=10))
+            else:
+                out.append(encode_avi_mjpeg(frames, fps=10))
         return pd.Series(out)
 
     return base.select("media_id", "kind", payload("media_id").alias("payload"))
 
 
 def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
-    """REAL frame sampling over MJPEG/AVI payloads: the RIFF walk yields
+    """REAL frame sampling over MJPEG payloads in AVI or MP4 containers:
+    the container walk (RIFF tree / stsz-stsc-stco sample table) yields
     frame offsets, so only every Nth frame is JPEG-decoded (container
     seek semantics — the ffmpeg '-vf select' shape) inside mapInPandas."""
     from resolve_overlap_and_gap_spark.operators.jpeg import decode_jpeg
@@ -408,7 +605,7 @@ def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
             rows = []
             for mid, buf in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(buf)
-                chunks, _fps = _avi_frame_chunks(b)
+                chunks, _fps = _video_frame_chunks(b)
                 for fi in range(0, len(chunks), every):
                     off, ln = chunks[fi]
                     img = decode_jpeg(b[off:off + ln])
@@ -448,17 +645,33 @@ def synthesize_media(spark: SparkSession, n: int, partitions: int = 8,
     JPEG — every pipeline over this table pays real decode costs for
     both major image formats).
 
-    content: 'noise' (seeded RNG pixels) or 'gradient' — pixel value
+    content: 'noise' (seeded RNG pixels), 'gradient' — pixel value
     x + y + (media_id % 96), identical channels; never wraps mod 256 at
     the 16-80 px sizes, so the decoded image MEAN has the closed form
     (w-1)/2 + (h-1)/2 + media_id % 96 and the whole encode -> decode ->
     feature pipeline becomes SQL-oracle-comparable (multimodal_invariants)
-    while still exercising non-trivial Sub/Up/Average/Paeth filters."""
+    while still exercising non-trivial Sub/Up/Average/Paeth filters — or
+    'blockgrad': pixel value 8*(x//16) + 8*(y//16) + media_id % 96 on
+    16-multiple dims, constant per 16x16 tile, so every luma AND
+    subsampled-chroma block is DC-only and survives 4:2:0 JPEG EXACTLY
+    (mean = 4*(w/16-1) + 4*(h/16-1) + id%96 — the
+    multimodal_invariants_420 closed form).
+
+    fmt='jpeg420' encodes baseline JPEG with 4:2:0 chroma subsampling and
+    per-MCU restart markers; fmt='mixed' gives its JPEG share (id%3==2)
+    4:2:0 on odd multiples (id%6==5) so the blend pays the dominant wild
+    layout, with restart markers feeding the vectorized batch decoder."""
+    if content == "blockgrad":
+        wexpr = (F.pmod(F.col("id") * 37, F.lit(4)) * 16 + 16)
+        hexpr = (F.pmod(F.col("id") * 53, F.lit(4)) * 16 + 16)
+    else:
+        wexpr = F.pmod(F.col("id") * 37, F.lit(64)) + 16
+        hexpr = F.pmod(F.col("id") * 53, F.lit(64)) + 16
     base = spark.range(0, n, 1, partitions).select(
         F.col("id").alias("media_id"),
         F.lit("image").alias("kind"),
-        (F.pmod(F.col("id") * 37, F.lit(64)) + 16).cast("int").alias("meta_w"),
-        (F.pmod(F.col("id") * 53, F.lit(64)) + 16).cast("int").alias("meta_h"),
+        wexpr.cast("int").alias("meta_w"),
+        hexpr.cast("int").alias("meta_h"),
     )
 
     @F.pandas_udf(T.BinaryType())
@@ -471,10 +684,22 @@ def synthesize_media(spark: SparkSession, n: int, partitions: int = 8,
                      + np.arange(ww, dtype=np.int32)[None, :]
                      + int(m) % 96).astype(np.uint8)
                 px = np.repeat(g[:, :, None], 3, axis=2)
+            elif content == "blockgrad":
+                g = (8 * (np.arange(hh, dtype=np.int32)[:, None] // 16)
+                     + 8 * (np.arange(ww, dtype=np.int32)[None, :] // 16)
+                     + int(m) % 96).astype(np.uint8)
+                px = np.repeat(g[:, :, None], 3, axis=2)
             else:
                 rng = np.random.default_rng(int(m))
                 px = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
-            if fmt == "png" or (fmt == "mixed" and int(m) % 3 == 1):
+            if fmt == "jpeg420":
+                from resolve_overlap_and_gap_spark.operators.jpeg import (
+                    encode_jpeg,
+                )
+
+                out.append(encode_jpeg(px, quality=85 + int(m) % 11,
+                                       subsampling="420", restart_interval=1))
+            elif fmt == "png" or (fmt == "mixed" and int(m) % 3 == 1):
                 # per-IMAGE filter 0-4 (media_id % 5): the corpus exercises
                 # every unfilter path incl. Average/Paeth, matching real
                 # crawl PNGs (photographic content is typically one filter
@@ -485,7 +710,9 @@ def synthesize_media(spark: SparkSession, n: int, partitions: int = 8,
                     encode_jpeg,
                 )
 
-                out.append(encode_jpeg(px, quality=85 + int(m) % 11))
+                sub = "420" if (fmt == "mixed" and int(m) % 6 == 5) else "444"
+                out.append(encode_jpeg(px, quality=85 + int(m) % 11,
+                                       subsampling=sub, restart_interval=1))
             else:
                 hdr = struct.pack(_HDR_FMT, _MAGIC, ww, hh, 3)
                 out.append(hdr + px.tobytes())
@@ -521,18 +748,31 @@ def extract_features(media: DataFrame, grid: int = 4) -> DataFrame:
     batches in, iterator out — the scale-path shape (no per-row Python at
     the Spark level; numpy vectorization inside the batch)."""
 
+    from resolve_overlap_and_gap_spark.operators.jpeg import decode_jpeg_batch
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            bufs = [bytes(b) for b in pdf["payload"]]
+            # JPEGs decode as ONE vectorized cursor fleet per Arrow batch
+            # (decode_jpeg_batch pools every restart segment of every
+            # image); other formats decode per-image
+            jidx = [i for i, b in enumerate(bufs) if b[:2] == b"\xff\xd8"]
+            imgs: dict[int, np.ndarray] = {}
+            if jidx:
+                for i, im in zip(jidx, decode_jpeg_batch([bufs[i] for i in jidx])):
+                    imgs[i] = im
             rows = []
-            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
-                img = _decode_image(bytes(buf))
+            for i, mid in enumerate(pdf["media_id"]):
+                img = imgs.get(i)
+                if img is None:
+                    img = _decode_image(bufs[i])
                 h, w, c = img.shape
                 # grid-pooled mean feature (the resize/pool stand-in)
                 ys = np.linspace(0, h, grid + 1).astype(int)
                 xs = np.linspace(0, w, grid + 1).astype(int)
                 feat = np.array([
-                    img[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
-                    for i in range(grid) for j in range(grid)
+                    img[ys[i2]:ys[i2 + 1], xs[j]:xs[j + 1]].mean()
+                    for i2 in range(grid) for j in range(grid)
                 ], dtype=np.float32) / 255.0
                 rows.append((int(mid), w, h, c, float(img.mean()), feat.tolist()))
             yield pd.DataFrame(

@@ -298,7 +298,8 @@ def assign_balanced_cells(features: DataFrame, cfg: EngineConfig,
 
 def detect_all_balanced(features: DataFrame, cfg: EngineConfig,
                         geom_col: str = "geom", id_col: str = "fid",
-                        n_buckets: int = 256) -> DataFrame:
+                        n_buckets: int = 256,
+                        assigned: DataFrame | None = None) -> DataFrame:
     """Detection over the CONTENT-BALANCED grid (the reference's
     cbg_content_based_balanced_grid semantics,
     find_overlap_and_gap-pre.sql:121-249): hot cells refine to children
@@ -308,9 +309,16 @@ def detect_all_balanced(features: DataFrame, cfg: EngineConfig,
     The kernel is resolution-agnostic (cell bounds derive from the Morton
     id), so only the assignment changes: features explode to covering cells
     at every frontier resolution and semi-join the frontier (a broadcast of
-    the small cell dim per resolution)."""
+    the small cell dim per resolution).
+
+    ``assigned`` (optional): a precomputed assign_balanced_cells result to
+    reuse — the reference builds its grid ONCE in resolve_overlap_gap_init
+    before any cell job, so a pipeline running detect + resolve on the
+    same layer should pass the same (ideally checkpointed) assignment to
+    both instead of re-deriving the frontier twice."""
     g = cfg.snap_tolerance
-    assigned = assign_balanced_cells(features, cfg, geom_col, id_col)
+    if assigned is None:
+        assigned = assign_balanced_cells(features, cfg, geom_col, id_col)
     cells = assigned.withColumn("bucket", F.pmod(F.hash("cell_id"), F.lit(n_buckets)))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -5,10 +5,13 @@ corpus into ~capacity-token concatenation groups).
 Semantics (deterministic, engine-independent):
   * shard = doc_id % n_shards — sharding IS the parallelism: greedy
     packing is inherently sequential, so the corpus is split into
-    independent streams packed in parallel (at 100 TB, n_shards scales
-    with the cluster; each shard is one applyInPandas group whose state
-    is two scalars, never the shard's rows-in-memory beyond the Arrow
-    batch Spark already materializes per group).
+    independent streams packed in parallel (at 100 TB, set n_shards to
+    ~2-4x the executor-core count).  Execution is repartition-by-shard +
+    sortWithinPartitions + mapInPandas: each task STREAMS its sorted
+    Arrow batches through the greedy fold, carrying only (seq_idx, fill)
+    per shard across batch boundaries — a shard is never materialized as
+    one in-memory frame, so shard size is bounded by the shuffle sort's
+    spill, not executor memory.
   * within a shard, docs are packed in doc_id order with the greedy
     first-overflow rule: a doc that would push the running fill past
     `capacity` starts a new sequence; a single doc longer than
@@ -45,20 +48,31 @@ def pack_sequences(docs: DataFrame, capacity: int = 512, n_shards: int = 8,
         f"cast(size(split({norm}, ' ')) as bigint) as n_tokens",
     )
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
-        seq, fill = 0, 0
-        seqs = []
-        for t in pdf["n_tokens"]:
-            if fill and fill + t > capacity:
-                seq += 1
-                fill = 0
-            fill += int(t)
-            seqs.append(seq)
-        pdf["seq_idx"] = pd.Series(seqs, dtype="int64")
-        return pdf[["doc_id", "shard", "seq_idx", "n_tokens"]]
+    from typing import Iterator
 
-    return slim.groupBy("shard").applyInPandas(pack, OUT_SCHEMA)
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-shard carry state across Arrow batches: shard -> (seq, fill).
+        # sortWithinPartitions guarantees each shard's docs arrive in
+        # doc_id order and contiguously, so the dict holds at most the
+        # few shards hashed into this partition — two ints each.
+        state: dict[int, tuple[int, int]] = {}
+        for pdf in batches:
+            seqs = []
+            for sh, t in zip(pdf["shard"], pdf["n_tokens"]):
+                seq, fill = state.get(int(sh), (0, 0))
+                if fill and fill + int(t) > capacity:
+                    seq += 1
+                    fill = 0
+                fill += int(t)
+                state[int(sh)] = (seq, fill)
+                seqs.append(seq)
+            out = pdf[["doc_id", "shard", "n_tokens"]].copy()
+            out["seq_idx"] = pd.Series(seqs, dtype="int64")
+            yield out[["doc_id", "shard", "seq_idx", "n_tokens"]]
+
+    return (slim.repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "doc_id")
+            .mapInPandas(pack, OUT_SCHEMA))
 
 
 def pack_sequences_duckdb_sql(capacity: int = 512, n_shards: int = 8,

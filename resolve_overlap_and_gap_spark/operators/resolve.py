@@ -370,7 +370,8 @@ def resolve(features: DataFrame, cfg: EngineConfig, res: int = 8,
 def resolve_balanced(features: DataFrame, cfg: EngineConfig,
                      geom_col: str = "geom", id_col: str = "fid",
                      n_buckets: int = 256,
-                     emit_border_gaps: bool = False) -> DataFrame:
+                     emit_border_gaps: bool = False,
+                     assigned: DataFrame | None = None) -> DataFrame:
     """Resolve over the CONTENT-BALANCED grid — the reference's main
     pipeline runs on exactly this grid (resolve_overlap_gap_init builds it
     before any cell job, function_resolve_overlap_gap_init.sql:76-90). Hot
@@ -382,7 +383,10 @@ def resolve_balanced(features: DataFrame, cfg: EngineConfig,
         assign_balanced_cells,
     )
 
-    assigned = assign_balanced_cells(features, cfg, geom_col, id_col)
+    if assigned is None:
+        # like the reference, a combined detect+resolve pipeline should
+        # build the grid once (resolve_overlap_gap_init) and pass it in
+        assigned = assign_balanced_cells(features, cfg, geom_col, id_col)
     cells = assigned.withColumn("bucket", F.pmod(F.hash("cell_id"), F.lit(n_buckets)))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -104,6 +104,52 @@ def auto_centroids(n_rows: int, min_c: int = 8, max_c: int = 65536) -> int:
     return max(min_c, min(max_c, int(math.ceil(math.sqrt(max(n_rows, 1))))))
 
 
+def _lloyd_stats(emb: DataFrame, cents: np.ndarray, vec_col: str) -> list:
+    """One distributed Lloyd statistics pass with a BOUNDED driver
+    transfer: each task assigns its Arrow batches to the nearest centroid
+    and accumulates per-centroid (raw-vector sum, count) locally, so only
+    the non-empty per-task partials (<= n_centroids rows per task) enter
+    the shuffle; a higher-order zip_with fold then reduces them to ONE
+    array row per centroid.  The driver collects O(n_centroids) rows —
+    never n rows, never n_centroids x dim scalar rows.  Assignment
+    normalizes vectors (cosine); sums are of the raw vectors, matching
+    the mean/renormalize centroid update."""
+    from typing import Iterator
+
+    c, d = cents.shape
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sums = np.zeros((c, d))
+        cnt = np.zeros(c, np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            a = np.argmax(mn @ cents.T, axis=1)
+            np.add.at(sums, a, m)
+            cnt += np.bincount(a, minlength=c)
+            seen = True
+        if seen:
+            nz = np.nonzero(cnt)[0]
+            yield pd.DataFrame({
+                "centroid_id": nz.astype(np.int32),
+                "ps": [sums[i].tolist() for i in nz],
+                "n": cnt[nz]})
+
+    part = emb.select(vec_col).mapInPandas(
+        partials, "centroid_id int, ps array<double>, n long")
+    agg = (part.groupBy("centroid_id")
+           .agg(F.aggregate(
+                    F.collect_list("ps"),
+                    F.array_repeat(F.lit(0.0), d),
+                    lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q)
+                ).alias("s"),
+                F.sum("n").alias("n")))
+    return agg.collect()
+
+
 def ivf_build(emb: DataFrame, dim: int, n_centroids: int | None = None,
               lloyd_iters: int = 2, seed: int = 7,
               vec_col: str = "vec") -> tuple[DataFrame, np.ndarray]:
@@ -115,11 +161,12 @@ def ivf_build(emb: DataFrame, dim: int, n_centroids: int | None = None,
     n_centroids=None auto-sizes to ~sqrt(n) lists (one count() action —
     the input is localCheckpoint()ed first so the count and the Lloyd
     passes don't re-evaluate an expensive upstream plan).  Each Lloyd
-    iteration is ONE distributed aggregation with map-side partial sums
-    (posexplode + groupBy(centroid, dim)) shuffling only
-    n_centroids x dim partial rows; the driver-side update is a single
-    vectorized numpy scatter — no per-centroid Python loop, so 10^4-10^5
-    lists update in milliseconds."""
+    iteration is one `_lloyd_stats` pass: assignment + per-centroid
+    partial sums fused in a single mapInPandas task pass, reduced to one
+    array row per centroid, so the shuffle carries <= tasks x n_centroids
+    rows and the driver collects O(n_centroids) rows; the driver-side
+    update is a single vectorized numpy scatter — no per-centroid Python
+    loop, so 10^4-10^5 lists update in milliseconds."""
     if n_centroids is None:
         emb = emb.localCheckpoint()
         n_centroids = auto_centroids(emb.count())
@@ -139,19 +186,13 @@ def ivf_build(emb: DataFrame, dim: int, n_centroids: int | None = None,
         return assign
 
     for _ in range(lloyd_iters):
-        a = emb.withColumn("centroid_id", assign_udf(cents)(F.col(vec_col)))
-        rows = (
-            a.select("centroid_id", F.posexplode(vec_col).alias("i", "x"))
-            .groupBy("centroid_id", "i")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
+        rows = _lloyd_stats(emb, cents, vec_col)
         cid = np.fromiter((r.centroid_id for r in rows), np.int64, len(rows))
-        di = np.fromiter((r.i for r in rows), np.int64, len(rows))
         sums = np.zeros((n_centroids, dim))
         cnt = np.zeros(n_centroids)
-        sums[cid, di] = np.fromiter((r.s for r in rows), np.float64, len(rows))
-        cnt[cid] = np.fromiter((r.n for r in rows), np.float64, len(rows))
+        if rows:
+            sums[cid] = np.stack([np.asarray(r.s, np.float64) for r in rows])
+            cnt[cid] = np.fromiter((r.n for r in rows), np.float64, len(rows))
         mean = sums / np.maximum(cnt, 1.0)[:, None]
         norm = np.linalg.norm(mean, axis=1)
         good = (cnt > 0) & (norm > 0)

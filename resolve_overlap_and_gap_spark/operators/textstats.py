@@ -215,7 +215,7 @@ def canonical_urls(pages: DataFrame, url_col: str = "url",
                  f"{url_host_sql('url_canon', SPARK)} as host")
 
 
-def blocklist_filter(pages: DataFrame, blocklist: list[str],
+def blocklist_filter(pages: DataFrame, blocklist: "list[str] | DataFrame",
                      host_col: str = "host",
                      id_col: str = "doc_id") -> DataFrame:
     """Domain-blocklist filtering with registrable-suffix semantics (the
@@ -229,12 +229,24 @@ def blocklist_filter(pages: DataFrame, blocklist: list[str],
     (bounded ~5), left-BROADCAST-joined against the blocklist dim (a
     blocklist is millions of rows at most — always broadcastable), then
     a per-doc max.  No regex scans of the host per blocklist entry (that
-    would be O(list) per row); JVM end to end."""
+    would be O(list) per row); JVM end to end.
+
+    `blocklist` is either a list of suffix strings (tests/small configs)
+    or a single-string-column DataFrame (the production path — a real
+    blocklist lives in a table, not the driver; the first column is
+    taken as the suffix).  Either way it stays a broadcast dim."""
     from pyspark.sql import functions as F
 
     spark = pages.sparkSession
-    dim = spark.createDataFrame([(b,) for b in sorted(blocklist)],
-                                "suffix string").withColumn("hit", F.lit(1))
+    if isinstance(blocklist, DataFrame):
+        c = blocklist.columns[0]
+        dim = (blocklist.select(F.col(c).cast("string").alias("suffix"))
+               .dropDuplicates(["suffix"]).withColumn("hit", F.lit(1)))
+    else:
+        dim = spark.createDataFrame(
+            [(b,) for b in sorted(set(blocklist))] or
+            [("\x00never-matches-a-host\x00",)],
+            "suffix string").withColumn("hit", F.lit(1))
     parts = f"split({host_col}, '\\\\.')"
     sfx = (pages.selectExpr(
         f"cast({id_col} as bigint) as doc_id", f"{host_col} as host",
@@ -251,10 +263,18 @@ def blocklist_filter_duckdb_sql(pages_sql: str, blocklist: list[str],
                                 host_col: str = "host",
                                 id_col: str = "doc_id") -> str:
     """DuckDB twin of blocklist_filter (same suffix explosion, same
-    broadcast-dim semantics)."""
-    vals = ", ".join(f"('{b}')" for b in sorted(blocklist))
+    broadcast-dim semantics).  Entries are quote-escaped; an empty
+    blocklist renders a zero-row dim (select … where false) so both
+    twins agree that nothing is blocked."""
+    if blocklist:
+        vals = ", ".join(
+            "('{}')".format(b.replace("'", "''"))
+            for b in sorted(set(blocklist)))
+        dim_sql = f"dim(suffix) as (values {vals})"
+    else:
+        dim_sql = "dim(suffix) as (select null::varchar where false)"
     return f"""
-        with dim(suffix) as (values {vals}),
+        with {dim_sql},
         p as (select cast({id_col} as bigint) as doc_id, {host_col} as host,
                      string_split({host_col}, '.') as parts
               from ({pages_sql})),

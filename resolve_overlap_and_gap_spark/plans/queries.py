@@ -2115,6 +2115,49 @@ def o_multimodal_invariants() -> str:
     """
 
 
+def q_multimodal_invariants_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-EXACT end-to-end oracle for the 4:2:0 JPEG pipeline:
+    block-gradient payloads (pixel constant per 16x16 tile =
+    8*(x//16) + 8*(y//16) + id%96, dims multiples of 16) go through the
+    REAL baseline JPEG encoder with 2x2 chroma subsampling + per-MCU
+    restart markers (jpeg.encode_jpeg(subsampling='420',
+    restart_interval=1)), the vectorized multi-cursor entropy decoder,
+    box-mean chroma reconstruction and the mapInPandas feature kernel.
+    Exactness: R=G=B makes both chroma planes constant 128 (subsampling
+    is exact), every 16x16 tile aligns with one MCU so all luma AND
+    chroma blocks are DC-only, and the DC quant error at q85-95 is
+    < 1/2 LSB — the decoded image equals the source bit for bit, so the
+    mean has the closed form 4*(w/16-1) + 4*(h/16-1) + id%96.
+    Complements multimodal_invariants (PNG path) with the dominant wild
+    JPEG layout."""
+    from resolve_overlap_and_gap_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    n = _read(spark, sf_dir, "documents").count()
+    media = synthesize_media(spark, n,
+                             partitions=spark.sparkContext.defaultParallelism,
+                             fmt="jpeg420", content="blockgrad")
+    return extract_features(media).selectExpr(
+        "media_id", "width", "height", "channels",
+        "cast(round(mean_byte * 100.0) as bigint) as mean_byte_x100",
+    )
+
+
+def o_multimodal_invariants_420() -> str:
+    return """
+        with m as (select row_number() over () - 1 as k from documents)
+        select cast(k as bigint) as media_id,
+               cast(16 + 16 * ((k * 37) % 4) as int) as width,
+               cast(16 + 16 * ((k * 53) % 4) as int) as height,
+               cast(3 as int) as channels,
+               cast(100 * (4 * ((k * 37) % 4) + 4 * ((k * 53) % 4)
+                    + k % 96) as bigint) as mean_byte_x100
+        from m
+    """
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors (hash-seeded centroids + Lloyd
     refinement + nprobe bucket search). Approximate by design — rows-only
@@ -2681,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "multimodal_features": q_multimodal,
         "multimodal_invariants": q_multimodal_invariants,
+        "multimodal_invariants_420": q_multimodal_invariants_420,
         "audio_invariants": q_audio_invariants,
         "video_invariants": q_video_invariants,
         "detect_polygons": q_detect_polygons,
@@ -2762,6 +2806,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_count": o_interval_count(),
         "pip_polygon": o_pip_polygon(),
         "multimodal_invariants": o_multimodal_invariants(),
+        "multimodal_invariants_420": o_multimodal_invariants_420(),
         "audio_invariants": o_audio_invariants(),
         "video_invariants": o_video_invariants(),
         "detect_boxes": o_detect_boxes(),

@@ -69,9 +69,16 @@ def test_jpeg_rejects_non_baseline():
             + struct.pack(">BHHB", 8, 4, 4, 1) + bytes([1, 0x11, 0]))
     with pytest.raises(NotImplementedError):
         decode_jpeg(sof2)
+    # restart intervals are SUPPORTED since round 5; a DRI-only stream now
+    # fails for the right reason (no SOF/SOS), not as a feature rejection
     dri = (b"\xff\xd8" + struct.pack(">HHH", 0xFFDD, 4, 8))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="missing SOF/SOS"):
         decode_jpeg(dri)
+    # sampling factors beyond 2 stay a parse-level boundary
+    sof3 = (b"\xff\xd8" + struct.pack(">HH", 0xFFC0, 13)
+            + struct.pack(">BHHB", 8, 4, 4, 1) + bytes([1, 0x41, 0]))
+    with pytest.raises(NotImplementedError, match="sampling factors"):
+        decode_jpeg(sof3)
     with pytest.raises(ValueError):
         decode_jpeg(b"nope")
 

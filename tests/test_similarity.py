@@ -109,3 +109,22 @@ def test_lsh_auto_bucket_occupancy(spark, emb):
     b2 = sorted((r.pid, r.bucket) for r in
                 with_lsh_bucket(emb, dim=64, n_planes=None).collect())
     assert b1 == b2
+
+@pytest.mark.spark
+def test_lloyd_stats_driver_transfer_is_o_centroids(spark, emb):
+    """Round-4 verdict task: the Lloyd statistics pass must collect
+    O(n_centroids) rows — one (sum-array, count) row per non-empty
+    centroid — never n rows and never n_centroids x dim scalar rows."""
+    import numpy as np
+
+    from resolve_overlap_and_gap_spark.operators.similarity import _lloyd_stats
+
+    dim, c = 64, 37
+    rng = np.random.default_rng(5)
+    cents = rng.standard_normal((c, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    rows = _lloyd_stats(emb, cents, "vec")
+    assert 0 < len(rows) <= c
+    assert all(len(r.s) == dim for r in rows)
+    n_total = emb.count()
+    assert sum(r.n for r in rows) == n_total
