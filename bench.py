@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "border_owner",
     "knn_ring",
     "cells_outside_in",
+    # crawl ingestion (gzip'd WARC shards -> records)
+    "warc_extract",
     # text / dedup / similarity
     "dedup_exact",
     "quality_stats",

@@ -2602,6 +2602,48 @@ def o_html_text() -> str:
     """
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-shaped ingestion one step BEFORE the pages table: real
+    multi-member-gzip WARC shards (sources/warc.py, ISO 28500 layout)
+    parsed record by record inside mapInPandas — header walk, gunzip,
+    HTTP status/body split all genuinely execute; every output field has
+    a SQL closed form from the deterministic synthesis.  The file is the
+    unit of parallelism, mirroring Common Crawl's ~1 GB shard layout."""
+    from resolve_overlap_and_gap_spark.sources.warc import (
+        synthesize_warc,
+        warc_extract,
+    )
+
+    n_files = _read(spark, sf_dir, "documents").count() // 4
+    files = synthesize_warc(
+        spark, n_files, recs_per_file=4,
+        partitions=spark.sparkContext.defaultParallelism)
+    return warc_extract(files).selectExpr(
+        "file_id", "rec_idx", "url", "warc_ts", "status", "body_len",
+        "body_text")
+
+
+def o_warc_extract() -> str:
+    return """
+        with d as (select row_number() over () - 1 as fid from documents),
+        n as (select count(*) // 4 as nf from documents),
+        f as (select fid from d, n where fid < nf),
+        g as (select fid, fid * 4 + i as gid, i
+              from f cross join (values (0), (1), (2), (3)) v(i))
+        select cast(fid as bigint) as file_id,
+               cast(i as int) as rec_idx,
+               'http://src' || (gid % 5) || '.example.org/page/' || gid
+                 as url,
+               strftime(timestamp '2026-01-01' + to_seconds(gid),
+                        '%Y-%m-%dT%H:%M:%SZ') as warc_ts,
+               cast(case when gid % 7 = 0 then 404 else 200 end as int)
+                 as status,
+               cast(30 + length(cast(gid as varchar)) as bigint) as body_len,
+               '<html><body>doc ' || gid || '</body></html>' as body_text
+        from g
+    """
+
+
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-one-per-near-dup-cluster — the pipeline's actual DROP step:
     the surviving document set after LSH clustering (cluster min id kept,
@@ -2748,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_invariants": q_ann_invariants,
         "lm_score": q_lm_score,
         "html_text": q_html_text,
+        "warc_extract": q_warc_extract,
         "dedup_keep": q_dedup_keep,
         "url_canon": q_url_canon,
         "url_hosts": q_url_hosts,
@@ -2823,6 +2866,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_invariants": o_ann_invariants(),
         "lm_score": o_lm_score(),
         "html_text": o_html_text(),
+        "warc_extract": o_warc_extract(),
         "dedup_keep": o_dedup_keep(),
         "url_canon": o_url_canon(),
         "url_hosts": o_url_hosts(),
