@@ -288,3 +288,24 @@ def blocklist_filter_duckdb_sql(pages_sql: str, blocklist: list[str],
         from sfx left join dim using (suffix)
         group by doc_id, host
     """
+
+
+def geoparse_sql(text_expr: str, dialect: str) -> tuple[str, str]:
+    """Geo-parse stage over raw page TEXT (the north-star's 'geo-parsed
+    points from text'): extract the first 'geo:<lat>,<lon>' mention with
+    the engine's native regexp_extract — JVM codegen in Spark, no Python
+    anywhere — and cast to double.  Returns (lat_sql, lon_sql).
+
+    Dialect notes: Spark SQL string literals interpret backslashes, so
+    the pattern ships with doubled escapes there; DuckDB literals do not.
+    No-match yields NULL on both engines (nullif guards DuckDB's
+    cast('' as double) error)."""
+    if dialect == "spark":
+        pat = "'geo:(-?\\\\d+\\\\.\\\\d+),(-?\\\\d+\\\\.\\\\d+)'"
+    else:
+        pat = r"'geo:(-?\d+\.\d+),(-?\d+\.\d+)'"
+    lat = (f"cast(nullif(regexp_extract({text_expr}, {pat}, 1), '') "
+           "as double)")
+    lon = (f"cast(nullif(regexp_extract({text_expr}, {pat}, 2), '') "
+           "as double)")
+    return lat, lon

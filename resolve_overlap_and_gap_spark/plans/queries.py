@@ -2602,6 +2602,47 @@ def o_html_text() -> str:
     """
 
 
+def _geo_wrap_sql(dialect: str) -> str:
+    """Deterministic 'geo:<lat>,<lon>' mention injected into each doc's
+    text (dyadic .25/.5 decimals, in-range lat/lon) — the fixture for the
+    geoparse extraction oracle; the EXTRACTION is the real regex path."""
+    st = "string" if dialect == SPARK else "varchar"
+    lat_i = f"cast(cast(doc_id % 160 - 80 as int) as {st})"
+    lon_i = f"cast(cast(doc_id % 340 - 170 as int) as {st})"
+    return (f"concat('see geo:', {lat_i}, '.25,', {lon_i}, '.5 soon. ', "
+            "text)")
+
+
+def q_geoparse_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star's geo-parse stage as REAL text extraction: a
+    'geo:lat,lon' mention is pulled out of page text with the engine's
+    native regexp_extract (JVM codegen, textstats.geoparse_sql), cast to
+    doubles and indexed into the flat grid — text -> coordinates -> cell
+    in one whole-stage-codegen pass, oracle-checked end to end."""
+    lat, lon = textstats.geoparse_sql(_geo_wrap_sql(SPARK), SPARK)
+    cell = grid.flat_cell_sql("px", "py", CELL_RES_COUNT)
+    return (
+        _read(spark, sf_dir, "documents")
+        .selectExpr("cast(doc_id as bigint) as doc_id",
+                    f"{lat} as py", f"{lon} as px")
+        .selectExpr("doc_id", "px", "py",
+                    f"cast({cell} as bigint) as cell_id")
+    )
+
+
+def o_geoparse_cells() -> str:
+    lat, lon = textstats.geoparse_sql(_geo_wrap_sql(DUCKDB), DUCKDB)
+    cell = grid.flat_cell_sql("px", "py", CELL_RES_COUNT)
+    return f"""
+        with g as (
+          select cast(doc_id as bigint) as doc_id,
+                 {lat} as py, {lon} as px
+          from documents)
+        select doc_id, px, py, cast({cell} as bigint) as cell_id
+        from g
+    """
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl-shaped ingestion one step BEFORE the pages table: real
     multi-member-gzip WARC shards (sources/warc.py, ISO 28500 layout)
@@ -2791,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "html_text": q_html_text,
         "warc_extract": q_warc_extract,
+        "geoparse_cells": q_geoparse_cells,
         "dedup_keep": q_dedup_keep,
         "url_canon": q_url_canon,
         "url_hosts": q_url_hosts,
@@ -2867,6 +2909,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": o_lm_score(),
         "html_text": o_html_text(),
         "warc_extract": o_warc_extract(),
+        "geoparse_cells": o_geoparse_cells(),
         "dedup_keep": o_dedup_keep(),
         "url_canon": o_url_canon(),
         "url_hosts": o_url_hosts(),

@@ -32,13 +32,19 @@ def main() -> None:
     import duckdb
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    def fresh_spark():
+        s = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .config("spark.sql.shuffle.partitions", str(cpus))
+            .config("spark.driver.memory",
+                    os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    spark = fresh_spark()
 
     import __spark_entry__ as E
 
@@ -51,7 +57,14 @@ def main() -> None:
     qs, osql = E.queries(), E.oracle_sql()
     out: dict[str, dict] = {}
     t_all = time.monotonic()
-    for name in qs:
+    for qi, name in enumerate(qs):
+        if qi and qi % 25 == 0:
+            # recycle the SparkContext: one long-lived local context
+            # accumulates driver-heap state (codegen/plan caches) across
+            # ~60 heavyweight plans and OOMs — same reason the pytest
+            # parity suite runs in halves
+            spark.stop()
+            spark = fresh_spark()
         t0 = time.monotonic()
         rec: dict = {"rows_match": None, "schema_match": None,
                      "hash_match": None, "spark_rows": None,
