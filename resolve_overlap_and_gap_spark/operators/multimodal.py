@@ -598,19 +598,24 @@ def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
     the container walk (RIFF tree / stsz-stsc-stco sample table) yields
     frame offsets, so only every Nth frame is JPEG-decoded (container
     seek semantics — the ffmpeg '-vf select' shape) inside mapInPandas."""
-    from resolve_overlap_and_gap_spark.operators.jpeg import decode_jpeg
+    from resolve_overlap_and_gap_spark.operators.jpeg import decode_jpeg_batch
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # container seek per video, then ALL sampled frames across the
+            # Arrow batch decode as one vectorized cursor fleet
+            keys, bufs = [], []
             for mid, buf in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(buf)
                 chunks, _fps = _video_frame_chunks(b)
                 for fi in range(0, len(chunks), every):
                     off, ln = chunks[fi]
-                    img = decode_jpeg(b[off:off + ln])
-                    rows.append((int(mid), fi, img.shape[1], img.shape[0],
-                                 float(img.mean())))
+                    keys.append((int(mid), fi))
+                    bufs.append(b[off:off + ln])
+            rows = [
+                (mid, fi, img.shape[1], img.shape[0], float(img.mean()))
+                for (mid, fi), img in zip(keys, decode_jpeg_batch(bufs))
+            ]
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame", "width", "height",
                                "mean_byte"])
