@@ -640,6 +640,64 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("feature", T.ArrayType(T.FloatType())),
 ])
 
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("mean_byte", T.DoubleType()),
+    T.StructField("thumb", T.BinaryType()),
+])
+
+
+def box_downscale(img: np.ndarray, k: int) -> np.ndarray:
+    """Exact k x k box-mean downscale (area averaging — what a thumbnail
+    pipeline wants for anti-aliased shrink), whole-array numpy.  Edges
+    short of a multiple of k are edge-padded first so every output pixel
+    averages a full window; output dtype uint8 with round-half-away
+    handled by the +0.5 floor on non-negative values."""
+    if k <= 1:
+        return img
+    h, w, c = img.shape
+    ph, pw = -(-h // k) * k, -(-w // k) * k
+    p = np.pad(img, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    s = p.reshape(ph // k, k, pw // k, k, c).astype(np.float64).mean((1, 3))
+    return np.floor(s + 0.5).astype(np.uint8)
+
+
+def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Decode + thumbnail over mapInPandas: JPEGs pool into one
+    decode_jpeg_batch cursor fleet per Arrow batch, every image shrinks
+    by `factor` with exact box-mean averaging, and the thumbnail ships
+    back as a raw FAKEIMG payload (header + bytes) — the resize stage of
+    a multimodal training pipeline with the 100 TB batch shape."""
+    from resolve_overlap_and_gap_spark.operators.jpeg import decode_jpeg_batch
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bufs = [bytes(b) for b in pdf["payload"]]
+            jidx = [i for i, b in enumerate(bufs) if b[:2] == b"\xff\xd8"]
+            imgs: dict[int, np.ndarray] = {}
+            if jidx:
+                for i, im in zip(jidx,
+                                 decode_jpeg_batch([bufs[i] for i in jidx])):
+                    imgs[i] = im
+            rows = []
+            for i, mid in enumerate(pdf["media_id"]):
+                img = imgs.get(i)
+                if img is None:
+                    img = _decode_image(bufs[i])
+                th = box_downscale(img, factor)
+                h2, w2, c2 = th.shape
+                hdr = struct.pack(_HDR_FMT, _MAGIC, w2, h2, c2)
+                rows.append((int(mid), w2, h2, c2, float(th.mean()),
+                             hdr + th.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "channels",
+                               "mean_byte", "thumb"])
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
 
 def synthesize_media(spark: SparkSession, n: int, partitions: int = 8,
                      fmt: str = "mixed", content: str = "noise") -> DataFrame:

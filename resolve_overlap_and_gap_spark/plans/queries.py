@@ -2158,6 +2158,41 @@ def o_multimodal_invariants_420() -> str:
     """
 
 
+def q_thumbnail_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-EXACT oracle for the RESIZE stage: block-gradient 4:2:0 JPEGs
+    (bit-exact decode, see multimodal_invariants_420) -> exact 2x2
+    box-mean downscale (multimodal.resize_images).  Constant 16x16 tiles
+    shrink to constant 8x8 tiles, so the thumbnail mean keeps the SAME
+    closed form while dims halve — decode + resize + re-encode plumbing
+    all really run."""
+    from resolve_overlap_and_gap_spark.operators.multimodal import (
+        resize_images,
+        synthesize_media,
+    )
+
+    n = _read(spark, sf_dir, "documents").count()
+    media = synthesize_media(spark, n,
+                             partitions=spark.sparkContext.defaultParallelism,
+                             fmt="jpeg420", content="blockgrad")
+    return resize_images(media, factor=2).selectExpr(
+        "media_id", "width", "height", "channels",
+        "cast(round(mean_byte * 100.0) as bigint) as mean_byte_x100",
+    )
+
+
+def o_thumbnail_invariants() -> str:
+    return """
+        with m as (select row_number() over () - 1 as k from documents)
+        select cast(k as bigint) as media_id,
+               cast(8 + 8 * ((k * 37) % 4) as int) as width,
+               cast(8 + 8 * ((k * 53) % 4) as int) as height,
+               cast(3 as int) as channels,
+               cast(100 * (4 * ((k * 37) % 4) + 4 * ((k * 53) % 4)
+                    + k % 96) as bigint) as mean_byte_x100
+        from m
+    """
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors (hash-seeded centroids + Lloyd
     refinement + nprobe bucket search). Approximate by design — rows-only
@@ -2808,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal,
         "multimodal_invariants": q_multimodal_invariants,
         "multimodal_invariants_420": q_multimodal_invariants_420,
+        "thumbnail_invariants": q_thumbnail_invariants,
         "audio_invariants": q_audio_invariants,
         "video_invariants": q_video_invariants,
         "detect_polygons": q_detect_polygons,
@@ -2892,6 +2928,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_polygon": o_pip_polygon(),
         "multimodal_invariants": o_multimodal_invariants(),
         "multimodal_invariants_420": o_multimodal_invariants_420(),
+        "thumbnail_invariants": o_thumbnail_invariants(),
         "audio_invariants": o_audio_invariants(),
         "video_invariants": o_video_invariants(),
         "detect_boxes": o_detect_boxes(),

@@ -197,3 +197,45 @@ def test_text_passthrough_byte_identity(spark):
     out = points_with_cell(with_point(pages), res=8)
     after = {r.url: r.text for r in out.select("url", "text").collect()}
     assert before == after
+
+
+def test_box_downscale_exact_and_edges():
+    """Exact box-mean semantics: constants stay constant, odd dims pad
+    with edge replication, rounding is half-away on the mean."""
+    import numpy as np
+
+    from resolve_overlap_and_gap_spark.operators.multimodal import box_downscale
+
+    const = np.full((16, 16, 3), 77, np.uint8)
+    assert (box_downscale(const, 2) == 77).all()
+    assert box_downscale(const, 2).shape == (8, 8, 3)
+    # odd dims: 5x3 by k=2 -> 3x2 (edge pad)
+    img = np.arange(5 * 3 * 1, dtype=np.uint8).reshape(5, 3, 1)
+    out = box_downscale(img, 2)
+    assert out.shape == (3, 2, 1)
+    # top-left window mean: pixels [[0,1],[3,4]] -> 2
+    assert out[0, 0, 0] == 2
+    # k=1 is identity
+    assert box_downscale(img, 1) is img
+
+
+@pytest.mark.spark
+def test_resize_images_roundtrip(spark):
+    """resize_images halves dims, emits decodable FAKEIMG thumbnails, and
+    the thumbnail of a constant image is constant."""
+    import numpy as np
+
+    from resolve_overlap_and_gap_spark.operators.multimodal import (
+        _decode_image,
+        resize_images,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 9, partitions=2, fmt="mixed",
+                             content="blockgrad")
+    rows = resize_images(media, factor=2).collect()
+    assert len(rows) == 9
+    for r in rows:
+        th = _decode_image(bytes(r.thumb))
+        assert th.shape == (r.height, r.width, r.channels)
+        assert abs(float(th.mean()) - r.mean_byte) < 1e-9
