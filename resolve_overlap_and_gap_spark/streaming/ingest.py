@@ -77,3 +77,15 @@ def cell_counts_stream(pages: DataFrame, key_col: str = "doc_id", res: int = 6,
         .agg(F.count("*").alias("n_pages"))
         .select(F.col("w.start").alias("window_start"), "cell_id", "n_pages")
     )
+
+
+def warc_records_stream(files: DataFrame) -> DataFrame:
+    """Streaming WARC ingestion: continuous crawl delivery lands shard
+    payloads in a bronze table and this parses them incrementally.  The
+    batch extractor is STATELESS (mapInPandas over independent shard
+    files — the file is the unit of parallelism), so the same operator
+    applies to a streaming DataFrame unchanged and stream == batch holds
+    row for row across micro-batches."""
+    from resolve_overlap_and_gap_spark.sources.warc import warc_extract
+
+    return warc_extract(files)

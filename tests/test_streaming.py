@@ -68,3 +68,32 @@ def test_prepare_pages_stream_matches_batch(spark, tmp_path):
     assert got == want and len(got) == 300
     # extraction really ran: html wrapper stripped, text non-empty
     assert all(t and "<" not in t for t in {r[4] for r in got})
+
+
+@pytest.mark.spark
+def test_warc_records_stream_matches_batch(spark, tmp_path):
+    """Streaming WARC shard ingestion == batch extraction, across
+    multiple micro-batches (maxFilesPerTrigger=1)."""
+    from resolve_overlap_and_gap_spark.sources.warc import (
+        synthesize_warc,
+        warc_extract,
+    )
+    from resolve_overlap_and_gap_spark.streaming.ingest import (
+        warc_records_stream,
+    )
+
+    src = str(tmp_path / "warc_src")
+    synthesize_warc(spark, 12, recs_per_file=4, partitions=3).write.parquet(src)
+    batch_in = spark.read.parquet(src)
+    want = sorted(tuple(r) for r in warc_extract(batch_in).collect())
+
+    stream = (spark.readStream.schema(batch_in.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (
+        warc_records_stream(stream)
+        .writeStream.format("memory").queryName("warcrecs")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("select * from warcrecs").collect())
+    assert got == want and len(got) == 48
