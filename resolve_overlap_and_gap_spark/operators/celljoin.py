@@ -129,18 +129,22 @@ def content_balanced_cells(
     quadrants. Returns (cell_id, n_rows, res); with_hot additionally
     returns {res: hot-cell DataFrame} for the levels that refined.
 
-    FULLY DISTRIBUTED, ONE PASS over the points: the per-level histograms
-    for EVERY candidate resolution come out of a single explode +
-    groupBy((res, cell)) aggregation (map-side partial combine makes the
-    shuffle O(cells), not O(points x levels)), checkpointed once.  The
+    FULLY DISTRIBUTED, AT MOST TWO PASSES over the points: a base-level
+    probe histogram (on uniform data nothing is hot and that single
+    aggregation IS the whole call — the fixed-res cost), then, only if
+    hot cells exist, ONE more explode + groupBy((res, cell)) aggregation
+    histograms every deeper candidate resolution together (map-side
+    partial combine keeps the shuffle O(cells), not O(points x levels)),
+    checkpointed once.  The
     level-by-level hot determination then cascades over that SMALL
     histogram — hot(r+1) = (n_rows > max) AND parent IN hot(r), a chain of
     semi-joins between per-level cell dims AQE broadcasts — so refining
     never re-keys or re-shuffles the points and never eagerly checkpoints
     a point subset per level (the round-4 shape: L aggregations + L count
     actions + L-1 point checkpoints; at 100 TB that is L full passes over
-    the corpus vs this version's one).  The only driver-side values are
-    ONE small per-level raw-hot-count collect used to prune levels that
+    the corpus vs this version's <= 2).  The only driver-side values are
+    the base hot-cell count plus one small per-level raw-hot-count
+    collect used to prune levels that
     cannot refine; a million-cell frontier never materializes as Python
     rows or an isin literal (the round-3 bottleneck; the repo's own Pareto
     study showed a ~5k-literal isin already costs more than shipping the
@@ -153,26 +157,43 @@ def content_balanced_cells(
     refinement.
     """
     levels = list(range(base_res, max_res + 1))
-    keyed = points.select(
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(r).cast("int").alias("res"),
-                grid.cell_id_col(F.col(lon), F.col(lat), r).alias("cell_id"),
-            )
-            for r in levels
-        ])).alias("rc")
-    ).select("rc.res", "rc.cell_id")
-    hist = (
-        keyed.groupBy("res", "cell_id").agg(F.count("*").alias("n_rows"))
-        .localCheckpoint(eager=True)
-    )
-    # levels that cannot refine (no cell over threshold anywhere) bound the
-    # cascade depth — one tiny collect over the checkpointed histogram
-    raw_hot = {
+
+    def hist_at(rs: list[int]) -> DataFrame:
+        keyed = points.select(
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(r).cast("int").alias("res"),
+                    grid.cell_id_col(F.col(lon), F.col(lat), r)
+                    .alias("cell_id"),
+                )
+                for r in rs
+            ])).alias("rc")
+        ).select("rc.res", "rc.cell_id")
+        return (keyed.groupBy("res", "cell_id")
+                .agg(F.count("*").alias("n_rows"))
+                .localCheckpoint(eager=True))
+
+    # Two-phase probe: the base level alone first — on (near-)uniform
+    # data nothing is hot and the whole call is ONE aggregation, exactly
+    # the fixed-res cost (exploding every candidate level up front would
+    # pay max_res - base_res extra point passes for nothing; measured 2x
+    # on the uniform sf0.1 bench layer).  Only when the base level has
+    # hot cells does phase B histogram the deeper levels, all in one
+    # more pass.
+    hist0 = hist_at([base_res])
+    n_hot0 = hist0.where(F.col("n_rows") > max_rows_in_each_cell).count()
+    if n_hot0 == 0 or base_res >= max_res:
+        out0 = hist0.select("cell_id", "n_rows", "res")
+        if with_hot:
+            return out0, {}
+        return out0
+    hist = hist0.unionByName(hist_at(levels[1:]))
+    raw_hot = {base_res: n_hot0}
+    raw_hot.update({
         r["res"]: r["n"]
         for r in hist.where(F.col("n_rows") > max_rows_in_each_cell)
         .groupBy("res").agg(F.count("*").alias("n")).collect()
-    }
+    })
     zmask = (1 << grid.RES_SHIFT) - 1
     frontier: list[DataFrame] = []
     hot_by_res: dict[int, DataFrame] = {}
