@@ -257,3 +257,41 @@ def lsh_ann_topk(emb: DataFrame, k: int, dim: int, n_planes: int | None = None,
         .where(F.col("rank") <= k)
         .select("qid", "pid", "rank", "sim")
     )
+
+
+def quantize_embeddings(emb: DataFrame, vec_col: str = "vec",
+                        id_col: str = "pid") -> DataFrame:
+    """Symmetric per-dimension int8 scalar quantization — the embedding
+    STORAGE step of a 100 TB ANN pipeline (4x smaller vectors before the
+    IVF/LSH index): scale_d = max|x_d| over the corpus, q = floor(x *
+    127 / scale_d + 0.5) clamped to [-127, 127].
+
+    All JVM: one posexplode + groupBy(dim) aggregation for the scales
+    (map-side combine -> the shuffle is O(partitions x dims), never
+    O(rows x dims)), the d-row scale dim broadcast back, and the
+    quantization itself a zip_with over the re-collected array.  The
+    floor(+0.5) rounding spelling is used instead of round() because
+    Spark and DuckDB disagree on round-half ties; floor(+0.5) is
+    identical in both engines, so the quantized ints are oracle-exact.
+
+    Returns (id, qvec array<int>, scales array<double>)."""
+    spark = emb.sparkSession
+    x = emb.select(
+        F.col(id_col).alias("pid"),
+        F.posexplode(vec_col).alias("i", "x"))
+    # sort_array(collect_list(struct)) — NOT orderBy-then-collect_list,
+    # whose order an aggregation does not contractually preserve
+    scales = (x.groupBy("i").agg(F.max(F.abs(F.col("x"))).alias("mx"))
+              .agg(F.expr("transform(sort_array(collect_list(struct(i, mx))),"
+                          " s -> s.mx)").alias("scales")))
+    return (emb.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("v"))
+            .crossJoin(F.broadcast(scales))
+            .select(
+                "pid",
+                F.expr(
+                    "zip_with(v, scales, (x, s) -> cast(case when s = 0.0 "
+                    "then 0 else greatest(-127, least(127, "
+                    "floor(x * 127.0 / s + 0.5))) end as int))"
+                ).alias("qvec"),
+                "scales",
+            ))

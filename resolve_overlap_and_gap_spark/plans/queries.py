@@ -2158,6 +2158,45 @@ def o_multimodal_invariants_420() -> str:
     """
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding int8 storage quantization (similarity.quantize_embeddings):
+    per-dimension symmetric scales from one posexplode aggregation, the
+    quantization a zip_with — all JVM.  floor(x*127/s + 0.5) instead of
+    round() because the engines disagree on half-ties; per-vector
+    checksum columns (sum/min/max of the quantized ints) make the oracle
+    hash-exact without comparing array cells."""
+    emb = _read(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id as pid", "transform(embedding, x -> cast(x as double)) as vec"
+    )
+    q = similarity.quantize_embeddings(emb)
+    return q.selectExpr(
+        "cast(pid as bigint) as pid",
+        "aggregate(qvec, cast(0 as bigint), (a, v) -> a + v) as q_sum",
+        "cast(array_min(qvec) as int) as q_min",
+        "cast(array_max(qvec) as int) as q_max",
+    )
+
+
+def o_embed_quantize() -> str:
+    return """
+        with e as (select vec_id as pid, embedding::DOUBLE[] as vec
+                   from embeddings),
+        x as (select pid, i, vec[i] as x
+              from e, unnest(generate_series(1, len(vec))) as u(i)),
+        s as (select i, max(abs(x)) as mx from x group by i),
+        q as (select pid,
+                     case when mx = 0 then 0 else
+                       greatest(-127, least(127,
+                         floor(x * 127.0 / mx + 0.5))) end as qv
+              from x join s using (i))
+        select cast(pid as bigint) as pid,
+               cast(sum(qv) as bigint) as q_sum,
+               cast(min(qv) as int) as q_min,
+               cast(max(qv) as int) as q_max
+        from q group by pid
+    """
+
+
 def q_thumbnail_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASH-EXACT oracle for the RESIZE stage: block-gradient 4:2:0 JPEGs
     (bit-exact decode, see multimodal_invariants_420) -> exact 2x2
@@ -2844,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_invariants": q_multimodal_invariants,
         "multimodal_invariants_420": q_multimodal_invariants_420,
         "thumbnail_invariants": q_thumbnail_invariants,
+        "embed_quantize": q_embed_quantize,
         "audio_invariants": q_audio_invariants,
         "video_invariants": q_video_invariants,
         "detect_polygons": q_detect_polygons,
@@ -2929,6 +2969,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_invariants": o_multimodal_invariants(),
         "multimodal_invariants_420": o_multimodal_invariants_420(),
         "thumbnail_invariants": o_thumbnail_invariants(),
+        "embed_quantize": o_embed_quantize(),
         "audio_invariants": o_audio_invariants(),
         "video_invariants": o_video_invariants(),
         "detect_boxes": o_detect_boxes(),

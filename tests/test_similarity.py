@@ -128,3 +128,31 @@ def test_lloyd_stats_driver_transfer_is_o_centroids(spark, emb):
     assert all(len(r.s) == dim for r in rows)
     n_total = emb.count()
     assert sum(r.n for r in rows) == n_total
+
+
+@pytest.mark.spark
+def test_quantize_embeddings_semantics(spark, emb):
+    """int8 quantization: values clamp to [-127,127], reconstruction
+    error per coordinate is bounded by scale/254 + half-LSB, and a
+    max-magnitude coordinate maps to +/-127 exactly."""
+    import numpy as np
+
+    from resolve_overlap_and_gap_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(emb.limit(200))
+    rows = q.collect()
+    assert rows and all(
+        -127 <= v <= 127 for r in rows for v in r.qvec)
+    scales = np.asarray(rows[0].scales)
+    orig = {r.pid: np.asarray(r.vec) for r in emb.limit(200).collect()}
+    hit_extreme = False
+    for r in rows:
+        x = orig[r.pid]
+        rec = np.asarray(r.qvec, float) * scales / 127.0
+        lim = scales / 127.0 * 0.5 + 1e-12
+        assert (np.abs(rec - x) <= lim + 1e-9).all()
+        if 127 in r.qvec or -127 in r.qvec:
+            hit_extreme = True
+    assert hit_extreme  # per-dim max really maps to the rail
