@@ -31,8 +31,9 @@ BENCH_QUERIES = [
     "border_owner",
     "knn_ring",
     "cells_outside_in",
-    # crawl ingestion (gzip'd WARC shards -> records)
+    # crawl ingestion (gzip'd WARC shards -> records) + geoparse
     "warc_extract",
+    "geoparse_cells",
     # text / dedup / similarity
     "dedup_exact",
     "quality_stats",
@@ -64,7 +65,9 @@ BENCH_QUERIES = [
     # they are the 100TB-path operators — bench them)
     "ann_lsh",
     "ann_ivf",
+    "embed_quantize",
     "multimodal_features",
+    "thumbnail_invariants",
     # relational / semi-structured
     "star_join",
     "json_props",
