@@ -28,9 +28,22 @@ this runs per Arrow batch under mapInPandas, so executors decode many
 images per Python round-trip and the batch decoder sees thousands of
 cursors even when individual images are small.
 
-Boundary: progressive (SOF2), 12-bit, arithmetic coding and 16-bit quant
-tables raise NotImplementedError — parse-level rejection, not silent
-corruption.  The encoder emits none of those.
+Progressive JPEG (SOF2, T.81 Annex G) is supported on both sides: the
+encoder emits a libjpeg-style scan script (Al=1 DC scan, split-band
+Al-shifted AC first scans, then DC/AC refinement scans to Al=0) and the
+decoder assembles any conforming scan sequence — DC/AC first and
+refinement scans, EOB-run skips (EOBn), per-scan restart intervals, and
+between-scan DHT/DRI redefinition.  All scans present means successive
+approximation is lossless: progressive and baseline encodings of the
+same image decode bit-identically.  The multi-scan decode is inherently
+sequential per image (symbols depend on coefficient state from earlier
+scans), so it runs on the scalar LUT reader; the vectorized cursor
+fleet covers the baseline streams in a batch.
+
+Boundary: 12-bit precision, arithmetic coding, hierarchical (SOF5-7,
+13-15), lossless (SOF3/11) and 16-bit quant tables raise
+NotImplementedError — parse-level rejection, not silent corruption.
+The encoder emits none of those.
 """
 
 from __future__ import annotations
@@ -215,8 +228,10 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
 
 def encode_jpeg(img: np.ndarray, quality: int = 90,
                 subsampling: str = "444",
-                restart_interval: "int | str | None" = None) -> bytes:
-    """Baseline JFIF encoder: 8-bit gray (h,w)/(h,w,1) or RGB (h,w,3),
+                restart_interval: "int | str | None" = None,
+                progressive: bool = False,
+                eob_runs: bool = False) -> bytes:
+    """JFIF encoder: 8-bit gray (h,w)/(h,w,1) or RGB (h,w,3),
     Annex K tables scaled by `quality`.
 
     subsampling: '444' (one block per component per MCU — the historical
@@ -228,7 +243,23 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     (MCUs per restart interval), or 'row' (one interval per MCU row —
     the common libjpeg error-resilience setting).  Restart markers make
     segments independently decodable, which is what the vectorized batch
-    decoder parallelizes over."""
+    decoder parallelizes over.
+
+    progressive=True emits the progressive-DCT process (SOF2, T.81
+    Annex G) with the standard libjpeg-style scan script: an Al=1 DC
+    scan, split-band Al-shifted AC first scans per component, then one
+    DC and per-component AC refinement scans down to Al=0.  All scans
+    are present, so the transmitted quantized coefficients are IDENTICAL
+    to the baseline encoding of the same image — decode(progressive) is
+    bit-exact with decode(baseline) at the same quality/subsampling.
+    restart_interval applies per scan (DC scans count MCUs,
+    non-interleaved AC scans count that component's blocks, per T.81).
+
+    eob_runs=True additionally codes end-of-band RUNS (EOBn symbols,
+    G.1.2.2) instead of one EOB per block; the Annex K AC tables carry
+    no EOBn symbols, so this mode emits flat custom Huffman tables —
+    it exists to exercise the wild-stream decoder paths (EOBn skips,
+    buffered correction bits, non-standard DHT)."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[:, :, 0]
@@ -280,6 +311,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     t_of = [0] if gray else [0, 1, 1]
     ri = mcux if restart_interval == "row" else (restart_interval or 0)
     ri = int(ri)
+    if progressive:
+        return _emit_progressive(h, w, gray, samp, qt_of, t_of, qts,
+                                 coefs, bws, mcux, mcuy, ri, eob_runs)
 
     scan = bytearray()
     bw_ = _BitWriter()
@@ -369,9 +403,288 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     return b"".join(out)
 
 
+# ------------------------------------------------- progressive encoder
+
+# AC symbol set for eob_runs mode: every run/size (s 1..10), EOBn for
+# r <= 14 (G.1.2.2 — 0x00 is EOB1), and ZRL, all at one 8-bit code
+# length (176 symbols < 255, so the all-ones code stays reserved)
+_AC_FLAT = ([0] * 7 + [176] + [0] * 8,
+            sorted([(r << 4) | s for r in range(16) for s in range(1, 11)]
+                   + [r << 4 for r in range(15)] + [0xF0]))
+
+
+def _emit_progressive(h, w, gray, samp, qt_of, t_of, qts, coefs, bws,
+                      mcux, mcuy, ri, eob_runs):
+    """Assemble a progressive (SOF2, T.81 Annex G) stream from the SAME
+    quantized zigzag coefficients the baseline writer consumes.  With
+    every refinement scan present, successive approximation is lossless:
+    the decoder reconstructs identical coefficients, so progressive and
+    baseline encodings of one image decode bit-exactly equal."""
+    ncomp = len(samp)
+    hmax = max(s_[0] for s_ in samp)
+    vmax = max(s_[1] for s_ in samp)
+    ac_raw = [_AC_FLAT, _AC_FLAT] if eob_runs else [AC_LUM, AC_CHROM]
+    dc_tbl = [_canonical_codes(*DC_LUM), _canonical_codes(*DC_CHROM)]
+    ac_tbl = [_canonical_codes(*t) for t in ac_raw]
+    # true (unpadded) block grid per component (T.81 A.1.1 dims) — AC
+    # scans are non-interleaved and never code the MCU padding blocks
+    tbw = [-(- -(-w * hi // hmax) // 8) for hi, _vi in samp]
+    tbh = [-(- -(-h * vi // vmax) // 8) for _hi, vi in samp]
+
+    # libjpeg-style default scan script: Al=1 DC, split-band AC first
+    # scans, then refinements down to Al=0
+    if gray:
+        script = [
+            ("dc0", None, 0, 0, 0, 1),
+            ("ac0", 0, 1, 5, 0, 2),
+            ("ac0", 0, 6, 63, 0, 2),
+            ("acr", 0, 1, 63, 2, 1),
+            ("dcr", None, 0, 0, 1, 0),
+            ("acr", 0, 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc0", None, 0, 0, 0, 1),
+            ("ac0", 0, 1, 5, 0, 2),
+            ("ac0", 1, 1, 63, 0, 1),
+            ("ac0", 2, 1, 63, 0, 1),
+            ("ac0", 0, 6, 63, 0, 2),
+            ("acr", 0, 1, 63, 2, 1),
+            ("dcr", None, 0, 0, 1, 0),
+            ("acr", 1, 1, 63, 1, 0),
+            ("acr", 2, 1, 63, 1, 0),
+            ("acr", 0, 1, 63, 1, 0),
+        ]
+
+    def scan_dc(al, refine):
+        bw_ = _BitWriter()
+        out = bytearray()
+        prev = [0] * ncomp
+        rst = 0
+        for m in range(mcux * mcuy):
+            if ri and m and m % ri == 0:
+                bw_.flush()
+                out += bw_.buf
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw_ = _BitWriter()
+                prev = [0] * ncomp
+            my, mx = divmod(m, mcux)
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        idx = (my * vi + by) * bws[ci] + mx * hi + bx
+                        dc = int(coefs[ci][idx][0]) >> al
+                        if refine:
+                            bw_.write(dc & 1, 1)
+                            continue
+                        diff = dc - prev[ci]
+                        prev[ci] = dc
+                        s, bits = _magnitude(diff)
+                        code, ln = dc_tbl[t_of[ci]][s]
+                        bw_.write(code, ln)
+                        if s:
+                            bw_.write(bits, s)
+        bw_.flush()
+        out += bw_.buf
+        return bytes(out)
+
+    def scan_ac_first(ci, ss, se, al):
+        act = ac_tbl[t_of[ci]]
+        bw_ = _BitWriter()
+        out = bytearray()
+        rst = 0
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = act[r << 4]
+                bw_.write(code, ln)
+                if r:
+                    bw_.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        nb = 0
+        for r0 in range(tbh[ci]):
+            for c0 in range(tbw[ci]):
+                if ri and nb and nb % ri == 0:
+                    flush_eob()
+                    bw_.flush()
+                    out += bw_.buf
+                    out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    bw_ = _BitWriter()
+                nb += 1
+                blk = coefs[ci][r0 * bws[ci] + c0]
+                run = 0
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    # AC point transform truncates toward zero (G.1.2.1)
+                    v = (abs(v) >> al) * (1 if v >= 0 else -1)
+                    if v == 0:
+                        run += 1
+                        continue
+                    flush_eob()
+                    while run >= 16:
+                        code, ln = act[0xF0]
+                        bw_.write(code, ln)
+                        run -= 16
+                    s, bits = _magnitude(v)
+                    code, ln = act[(run << 4) | s]
+                    bw_.write(code, ln)
+                    bw_.write(bits, s)
+                    run = 0
+                if run:                    # band ended in zeros
+                    if eob_runs:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                    else:
+                        code, ln = act[0x00]
+                        bw_.write(code, ln)
+        flush_eob()
+        bw_.flush()
+        out += bw_.buf
+        return bytes(out)
+
+    def scan_ac_refine(ci, ss, se, al):
+        act = ac_tbl[t_of[ci]]
+        bw_ = _BitWriter()
+        out = bytearray()
+        rst = 0
+        eobrun = 0
+        be = []            # correction bits buffered behind an EOB run
+
+        def flush_eob():
+            nonlocal eobrun, be
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = act[r << 4]
+                bw_.write(code, ln)
+                if r:
+                    bw_.write(eobrun - (1 << r), r)
+                eobrun = 0
+            for b in be:
+                bw_.write(b, 1)
+            be = []
+
+        nb = 0
+        for r0 in range(tbh[ci]):
+            for c0 in range(tbw[ci]):
+                if ri and nb and nb % ri == 0:
+                    flush_eob()
+                    bw_.flush()
+                    out += bw_.buf
+                    out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    bw_ = _BitWriter()
+                nb += 1
+                blk = coefs[ci][r0 * bws[ci] + c0]
+                band = [int(blk[k]) for k in range(ss, se + 1)]
+                absv = [abs(v) >> al for v in band]
+                # index (in band) of the last NEWLY-significant coef:
+                # zero-history runs after it fold into the EOB instead
+                # of ZRLs (T.81 G.1.2.3 / libjpeg jcphuff)
+                last_new = -1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        last_new = i
+                run = 0        # run of zero-HISTORY coefficients
+                br = []        # correction bits pending the next symbol
+                for i, (v, t) in enumerate(zip(band, absv)):
+                    if t == 0:
+                        run += 1
+                        continue
+                    # nonzero: emit pending ZRLs NOW (before deciding the
+                    # kind) so the buffered correction bits stay with the
+                    # 16-zero span the decoder reads them in
+                    while run > 15 and i <= last_new:
+                        flush_eob()
+                        code, ln = act[0xF0]
+                        bw_.write(code, ln)
+                        run -= 16
+                        for b in br:
+                            bw_.write(b, 1)
+                        br = []
+                    if t > 1:  # already significant: correction bit
+                        br.append(t & 1)
+                        continue
+                    # t == 1: newly significant this scan
+                    flush_eob()
+                    code, ln = act[(run << 4) | 1]
+                    bw_.write(code, ln)
+                    bw_.write(1 if v > 0 else 0, 1)
+                    for b in br:
+                        bw_.write(b, 1)
+                    br = []
+                    run = 0
+                if run or br:              # end-of-band for this block
+                    if eob_runs:
+                        eobrun += 1
+                        be += br
+                        if eobrun == 0x7FFF or len(be) > 900:
+                            flush_eob()
+                    else:
+                        code, ln = act[0x00]
+                        bw_.write(code, ln)
+                        for b in br:
+                            bw_.write(b, 1)
+        flush_eob()
+        bw_.flush()
+        out += bw_.buf
+        return bytes(out)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = [b"\xff\xd8"]
+    out.append(seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
+    dqt = b"\x00" + bytes(int(v) for v in qts[0][ZIGZAG])
+    if not gray:
+        dqt += b"\x01" + bytes(int(v) for v in qts[1][ZIGZAG])
+    out.append(seg(0xFFDB, dqt))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qt_of[ci]])
+    out.append(seg(0xFFC2, sof))
+    dht = b""
+    tables = ([(0, 0, DC_LUM), (1, 0, ac_raw[0])] if gray else
+              [(0, 0, DC_LUM), (1, 0, ac_raw[0]),
+               (0, 1, DC_CHROM), (1, 1, ac_raw[1])])
+    for tc, th, (counts, syms) in tables:
+        dht += bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms)
+    out.append(seg(0xFFC4, dht))
+    if ri:
+        out.append(seg(0xFFDD, struct.pack(">H", ri)))
+    for kind, ci, ss, se, ah, al in script:
+        if kind in ("dc0", "dcr"):
+            sos = bytes([ncomp])
+            for c2 in range(ncomp):
+                t = t_of[c2]
+                sos += bytes([c2 + 1, (t << 4) | t])
+            data = scan_dc(al, kind == "dcr")
+        else:
+            t = t_of[ci]
+            sos = bytes([1, ci + 1, (t << 4) | t])
+            data = (scan_ac_first if kind == "ac0"
+                    else scan_ac_refine)(ci, ss, se, al)
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.append(seg(0xFFDA, sos))
+        out.append(data)
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
 # ---------------------------------------------------------------- parser
 
 _RST_SPLIT = re.compile(b"\xff[\xd0-\xd7]")
+# first 0xFF that starts a real marker (not stuffing, not a restart):
+# the end of one progressive scan's entropy data
+_SCAN_END = re.compile(b"\xff(?![\x00\xd0-\xd7])")
 
 
 class _Parsed:
@@ -379,7 +692,7 @@ class _Parsed:
 
     __slots__ = ("h", "w", "comps", "qts", "huff_raw", "tsel", "ri",
                  "segments", "seg_mcus", "hmax", "vmax", "mcux", "mcuy",
-                 "layout", "nblk", "bws", "bhs")
+                 "layout", "nblk", "bws", "bhs", "progressive", "scans")
 
 
 def _parse_jpeg(buf: bytes) -> _Parsed:
@@ -392,6 +705,8 @@ def _parse_jpeg(buf: bytes) -> _Parsed:
     p.qts = {}
     p.huff_raw = {}
     p.ri = 0
+    p.progressive = False
+    p.scans = []
     sof = None
     scan_raw = None
     comps_sos = None
@@ -424,7 +739,7 @@ def _parse_jpeg(buf: bytes) -> _Parsed:
                 z = np.frombuffer(body[o + 1:o + 65], np.uint8).astype(np.int32)
                 p.qts[tq] = z[UNZIGZAG]
                 o += 65
-        elif marker == 0xFFC0:
+        elif marker in (0xFFC0, 0xFFC2):
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -437,7 +752,8 @@ def _parse_jpeg(buf: bytes) -> _Parsed:
                         f"sampling factors {hi}x{vi} (supported: 1-2)")
                 comps.append((cid, hi, vi, tq))
             sof = (h, w, comps)
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+            p.progressive = marker == 0xFFC2
+        elif marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError(
                 f"non-baseline JPEG process (marker {marker:#x})")
@@ -456,17 +772,31 @@ def _parse_jpeg(buf: bytes) -> _Parsed:
             nc = body[0]
             comps_sos = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
                           body[2 + 2 * i] & 0xF) for i in range(nc)]
-            # entropy-coded data runs from here to EOI
+            if not p.progressive:
+                # baseline: one scan, entropy data runs to EOI
+                raw = buf[pos:]
+                end = raw.find(b"\xff\xd9")
+                if end < 0:
+                    end = len(raw)
+                scan_raw = raw[:end]
+                break
+            # progressive: collect this scan (band + approximation +
+            # snapshots of the tables/DRI in force) and keep walking —
+            # DHT/DRI may be redefined between scans
+            ss, se2 = body[1 + 2 * nc], body[2 + 2 * nc]
+            ahal = body[3 + 2 * nc]
             raw = buf[pos:]
-            end = raw.find(b"\xff\xd9")
-            if end < 0:
-                end = len(raw)
-            scan_raw = raw[:end]
-            break
-    if sof is None or scan_raw is None:
+            m = _SCAN_END.search(raw)
+            end = m.start() if m else len(raw)
+            p.scans.append({"comps": comps_sos, "ss": ss, "se": se2,
+                            "ah": ahal >> 4, "al": ahal & 0xF,
+                            "ri": p.ri, "data": raw[:end],
+                            "huff": dict(p.huff_raw)})
+            pos += end
+    if sof is None or (scan_raw is None and not p.scans):
         raise ValueError("JPEG missing SOF/SOS")
     p.h, p.w, p.comps = sof
-    p.tsel = {cid: (td, ta) for cid, td, ta in comps_sos}
+    p.tsel = {cid: (td, ta) for cid, td, ta in (comps_sos or [])}
     p.hmax = max(c[1] for c in p.comps)
     p.vmax = max(c[2] for c in p.comps)
     p.mcux = -(-p.w // (8 * p.hmax))
@@ -484,6 +814,12 @@ def _parse_jpeg(buf: bytes) -> _Parsed:
         p.nblk.append(hi * vi)
         p.bws.append(p.mcux * hi)
         p.bhs.append(p.mcuy * vi)
+    if p.progressive:
+        # multi-scan entropy data lives in p.scans; the baseline
+        # segment machinery stays empty
+        p.segments = []
+        p.seg_mcus = []
+        return p
     # split scan on restart markers (stuffed data never contains FFD0-D7),
     # then unstuff each segment independently
     segs = (_RST_SPLIT.split(scan_raw) if p.ri else [scan_raw])
@@ -581,6 +917,230 @@ def _entropy_scalar(p: _Parsed) -> list:
                     k += 1
     return [np.array(b, np.int32) if b else np.zeros((0, 64), np.int32)
             for b in blocks]
+
+
+# ----------------------------------------------- progressive decoding
+
+class _BitReader:
+    """Scalar MSB-first bit reader over unstuffed entropy data.  Reads
+    past the end see zero bits (the final byte is 1-padded by encoders;
+    zero-fill makes a truncated stream fail on the LUT miss rather than
+    loop)."""
+
+    __slots__ = ("d", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            b = self.d[self.pos] if self.pos < len(self.d) else 0
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill(n)
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+    def huff(self, lut) -> int:
+        self._fill(16)
+        e = lut[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        if e == 0:
+            raise ValueError("corrupt JPEG: Huffman code overflow")
+        self.nbits -= e >> 8
+        self.acc &= (1 << self.nbits) - 1
+        return e & 0xFF
+
+
+def _recv_extend(rd: _BitReader, s: int) -> int:
+    v = rd.bits(s)
+    if s and v < (1 << (s - 1)):
+        v += 1 - (1 << s)
+    return v
+
+
+def _ac_first_block(row, rd, lut, ss, se, al, eobrun):
+    """First AC scan for one block's band (T.81 G.2.2 decode): RS
+    symbols with EOBn run skips and ZRL, values scaled up by 2^Al."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.huff(lut)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:          # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rd.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC band overflow")
+        row[k] = _recv_extend(rd, s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(row, rd, lut, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block (the
+    correction-bit walk of G.2.2 / libjpeg decode_mcu_AC_refine):
+    run/1 symbols place newly-significant +-2^Al values after skipping
+    `r` zero-HISTORY positions; every nonzero-history coefficient
+    passed on the way (and, for EOB runs, through the end of the band)
+    consumes one correction bit."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.huff(lut)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r     # includes the current block
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                val = 0                  # ZRL: skip 16 zero-history
+            else:
+                # refinement magnitudes are always 1 (G.1.2.3)
+                val = p1 if rd.bit() else -p1
+            while k <= se:
+                c = int(row[k])
+                if c:
+                    if rd.bit() and (c & p1) == 0:
+                        row[k] = c + (p1 if c >= 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                row[k] = val
+            k += 1
+    if eobrun:
+        while k <= se:
+            c = int(row[k])
+            if c and rd.bit() and (c & p1) == 0:
+                row[k] = c + (p1 if c >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(p: _Parsed, scan: dict, grids, cid2ci, tb) -> None:
+    ss, se = scan["ss"], scan["se"]
+    ah, al = scan["ah"], scan["al"]
+    ri = scan["ri"]
+    comps = scan["comps"]
+    huff = scan["huff"]
+    interleaved = len(comps) > 1
+    if ss > 0 and interleaved:
+        raise ValueError("progressive AC scan with >1 component")
+    if interleaved:
+        walk = []
+        for cid, _td, _ta in comps:
+            ci = cid2ci[cid]
+            _c, hi, vi, _q = p.comps[ci]
+            for by in range(vi):
+                for bx in range(hi):
+                    walk.append((ci, by, bx))
+        nunits = p.mcux * p.mcuy
+        ci0 = None
+    else:
+        walk = None
+        ci0 = cid2ci[comps[0][0]]
+        nunits = tb[ci0][0] * tb[ci0][1]
+    dc_lut = {}
+    ac_lut = None
+    for cid, td, ta in comps:
+        ci = cid2ci[cid]
+        if ss == 0 and ah == 0:
+            dc_lut[ci] = _decode_tables(*huff[(0, td)])
+        if ss > 0:
+            ac_lut = _decode_tables(*huff[(1, ta)])
+    segs = (_RST_SPLIT.split(scan["data"]) if ri else [scan["data"]])
+    segs = [s.replace(b"\xff\x00", b"\xff") for s in segs]
+    want = -(-nunits // ri) if ri else 1
+    if len(segs) != want:
+        raise ValueError(
+            f"restart segment count {len(segs)} != expected {want}")
+    seg_units = ([ri] * (want - 1) + [nunits - ri * (want - 1)]
+                 if ri else [nunits])
+    unit0 = 0
+    for sdata, su in zip(segs, seg_units):
+        rd = _BitReader(sdata)
+        if ss == 0:
+            pred = {}
+            for m in range(unit0, unit0 + su):
+                if interleaved:
+                    my, mx = divmod(m, p.mcux)
+                    blocks = [((my * vi + by) * p.bws[ci] + mx * hi + bx, ci)
+                              for ci, by, bx in walk
+                              for _c, hi, vi, _q in (p.comps[ci],)]
+                else:
+                    r0, c0 = divmod(m, tb[ci0][1])
+                    blocks = [(r0 * p.bws[ci0] + c0, ci0)]
+                for idx, ci in blocks:
+                    if ah == 0:
+                        s = rd.huff(dc_lut[ci])
+                        pred[ci] = pred.get(ci, 0) + _recv_extend(rd, s)
+                        grids[ci][idx, 0] = pred[ci] << al
+                    elif rd.bit():
+                        grids[ci][idx, 0] = int(grids[ci][idx, 0]) | (1 << al)
+        else:
+            g = grids[ci0]
+            eobrun = 0
+            fn = _ac_first_block if ah == 0 else _ac_refine_block
+            for m in range(unit0, unit0 + su):
+                r0, c0 = divmod(m, tb[ci0][1])
+                row = g[r0 * p.bws[ci0] + c0]
+                eobrun = fn(row, rd, ac_lut, ss, se, al, eobrun)
+        unit0 += su
+
+
+def _entropy_progressive(p: _Parsed) -> list:
+    """Multi-scan progressive entropy decode (T.81 Annex G): DC first /
+    refinement and AC first / refinement scans with EOB-run skipping and
+    per-scan restart intervals, assembled by successive approximation
+    into full-precision coefficients.  Output: per-component
+    (n_blocks, 64) int32 arrays in MCU-major order — the same contract
+    as _entropy_scalar, so _reconstruct is shared.  Later symbols depend
+    on coefficient state left by earlier scans, so this path is
+    inherently sequential per image (the vectorized cursor fleet covers
+    baseline streams)."""
+    grids = [np.zeros((p.bhs[ci] * p.bws[ci], 64), np.int64)
+             for ci in range(len(p.comps))]
+    cid2ci = {c[0]: i for i, c in enumerate(p.comps)}
+    # true (unpadded) per-component block dims (T.81 A.1.1):
+    # non-interleaved scans never code the MCU padding blocks
+    tb = []
+    for _cid, hi, vi, _tq in p.comps:
+        cw = -(-p.w * hi // p.hmax)
+        ch = -(-p.h * vi // p.vmax)
+        tb.append((-(-ch // 8), -(-cw // 8)))
+    for scan in p.scans:
+        _decode_scan(p, scan, grids, cid2ci, tb)
+    out = []
+    for ci, (_cid, hi, vi, _tq) in enumerate(p.comps):
+        g = grids[ci].reshape(p.mcuy, vi, p.mcux, hi, 64)
+        out.append(g.transpose(0, 2, 1, 3, 4).reshape(-1, 64)
+                   .astype(np.int32))
+    return out
 
 
 # --------------------------------------------------- vectorized entropy
@@ -842,10 +1402,14 @@ def _use_vectorized(plist: list) -> bool:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline decoder -> uint8 (h, w, c) with c in {1, 3}.  Streams with
-    many restart segments take the vectorized multi-cursor path; short or
-    single-chain streams take the scalar LUT walk (lower constant)."""
+    """Decoder -> uint8 (h, w, c) with c in {1, 3}.  Baseline streams
+    with many restart segments take the vectorized multi-cursor path;
+    short or single-chain streams take the scalar LUT walk (lower
+    constant); progressive (SOF2) streams take the multi-scan
+    successive-approximation decoder."""
     p = _parse_jpeg(buf)
+    if p.progressive:
+        return _reconstruct(p, _entropy_progressive(p))
     if _use_vectorized([p]):
         coefs = _entropy_batch([p])[0]
     else:
@@ -855,16 +1419,27 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
 
 def decode_jpeg_batch(bufs: list) -> list:
     """Decode many JPEGs at once: headers parse per image (cheap Python),
-    then ALL entropy segments across the batch decode as one vectorized
-    cursor fleet — the per-Arrow-batch shape extract_features feeds.
+    then ALL baseline entropy segments across the batch decode as one
+    vectorized cursor fleet — the per-Arrow-batch shape extract_features
+    feeds; progressive images decode via the multi-scan path.
     Returns a list of uint8 (h, w, c) arrays, index-aligned with `bufs`.
     Raises (ValueError/NotImplementedError) on the first unparseable or
     corrupt stream, matching per-image decode_jpeg semantics."""
     plist = [_parse_jpeg(bytes(b)) for b in bufs]
     if not plist:
         return []
-    if _use_vectorized(plist):
-        all_coefs = _entropy_batch(plist)
-    else:
-        all_coefs = [_entropy_scalar(p) for p in plist]
-    return [_reconstruct(p, c) for p, c in zip(plist, all_coefs)]
+    base = [p for p in plist if not p.progressive]
+    coefmap: dict[int, list] = {}
+    if base and _use_vectorized(base):
+        for p, c in zip(base, _entropy_batch(base)):
+            coefmap[id(p)] = c
+    out = []
+    for p in plist:
+        if p.progressive:
+            coefs = _entropy_progressive(p)
+        elif id(p) in coefmap:
+            coefs = coefmap[id(p)]
+        else:
+            coefs = _entropy_scalar(p)
+        out.append(_reconstruct(p, coefs))
+    return out

@@ -721,9 +721,13 @@ def synthesize_media(spark: SparkSession, n: int, partitions: int = 8,
     multimodal_invariants_420 closed form).
 
     fmt='jpeg420' encodes baseline JPEG with 4:2:0 chroma subsampling and
-    per-MCU restart markers; fmt='mixed' gives its JPEG share (id%3==2)
+    per-MCU restart markers; fmt='jpegprog' encodes PROGRESSIVE (SOF2)
+    4:2:0 JPEG — the multi-scan successive-approximation layout most
+    wild crawl JPEGs use.  fmt='mixed' gives its JPEG share (id%3==2)
     4:2:0 on odd multiples (id%6==5) so the blend pays the dominant wild
-    layout, with restart markers feeding the vectorized batch decoder."""
+    layout, with restart markers feeding the vectorized batch decoder,
+    and makes half of that 4:2:0 share (id%12==11) progressive so the
+    blend pays the multi-scan decode path too."""
     if content == "blockgrad":
         wexpr = (F.pmod(F.col("id") * 37, F.lit(4)) * 16 + 16)
         hexpr = (F.pmod(F.col("id") * 53, F.lit(4)) * 16 + 16)
@@ -755,13 +759,14 @@ def synthesize_media(spark: SparkSession, n: int, partitions: int = 8,
             else:
                 rng = np.random.default_rng(int(m))
                 px = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
-            if fmt == "jpeg420":
+            if fmt in ("jpeg420", "jpegprog"):
                 from resolve_overlap_and_gap_spark.operators.jpeg import (
                     encode_jpeg,
                 )
 
                 out.append(encode_jpeg(px, quality=85 + int(m) % 11,
-                                       subsampling="420", restart_interval=1))
+                                       subsampling="420", restart_interval=1,
+                                       progressive=fmt == "jpegprog"))
             elif fmt == "png" or (fmt == "mixed" and int(m) % 3 == 1):
                 # per-IMAGE filter 0-4 (media_id % 5): the corpus exercises
                 # every unfilter path incl. Average/Paeth, matching real
@@ -774,8 +779,10 @@ def synthesize_media(spark: SparkSession, n: int, partitions: int = 8,
                 )
 
                 sub = "420" if (fmt == "mixed" and int(m) % 6 == 5) else "444"
+                prog = fmt == "mixed" and int(m) % 12 == 11
                 out.append(encode_jpeg(px, quality=85 + int(m) % 11,
-                                       subsampling=sub, restart_interval=1))
+                                       subsampling=sub, restart_interval=1,
+                                       progressive=prog))
             else:
                 hdr = struct.pack(_HDR_FMT, _MAGIC, ww, hh, 3)
                 out.append(hdr + px.tobytes())

@@ -2158,6 +2158,37 @@ def o_multimodal_invariants_420() -> str:
     """
 
 
+def q_multimodal_invariants_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-EXACT end-to-end oracle for PROGRESSIVE (SOF2) JPEG — the
+    multi-scan layout most wild crawl JPEGs use: the same block-gradient
+    payloads as multimodal_invariants_420, but encoded with the
+    libjpeg-style progressive scan script (Al-shifted DC scan,
+    split-band AC first scans, DC/AC refinement scans to Al=0) at 4:2:0
+    with per-MCU restart intervals, then decoded by the
+    successive-approximation scan assembler (jpeg._entropy_progressive).
+    All refinement scans are present, so the transmitted coefficients —
+    and therefore the decoded pixels and the closed-form mean
+    4*(w/16-1) + 4*(h/16-1) + id%96 — are identical to the baseline
+    encoding (DC-only blocks, exact chroma, <1/2-LSB DC quant error)."""
+    from resolve_overlap_and_gap_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    n = _read(spark, sf_dir, "documents").count()
+    media = synthesize_media(spark, n,
+                             partitions=spark.sparkContext.defaultParallelism,
+                             fmt="jpegprog", content="blockgrad")
+    return extract_features(media).selectExpr(
+        "media_id", "width", "height", "channels",
+        "cast(round(mean_byte * 100.0) as bigint) as mean_byte_x100",
+    )
+
+
+def o_multimodal_invariants_prog() -> str:
+    return o_multimodal_invariants_420()
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding int8 storage quantization (similarity.quantize_embeddings):
     per-dimension symmetric scales from one posexplode aggregation, the
@@ -2882,6 +2913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal,
         "multimodal_invariants": q_multimodal_invariants,
         "multimodal_invariants_420": q_multimodal_invariants_420,
+        "multimodal_invariants_prog": q_multimodal_invariants_prog,
         "thumbnail_invariants": q_thumbnail_invariants,
         "embed_quantize": q_embed_quantize,
         "audio_invariants": q_audio_invariants,
@@ -2968,6 +3000,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_polygon": o_pip_polygon(),
         "multimodal_invariants": o_multimodal_invariants(),
         "multimodal_invariants_420": o_multimodal_invariants_420(),
+        "multimodal_invariants_prog": o_multimodal_invariants_prog(),
         "thumbnail_invariants": o_thumbnail_invariants(),
         "embed_quantize": o_embed_quantize(),
         "audio_invariants": o_audio_invariants(),
