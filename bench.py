@@ -56,9 +56,11 @@ BENCH_QUERIES = [
     "lsh_pairs",
     "simhash_neardup",
     "simhash_clusters",    # pair-explosion guard: one row/doc via CC
+    "semantic_clusters",   # SemDeDup: cosine pairs -> CC -> cluster labels
     "top_terms",
     "bpe_tokens",
     "url_canon",
+    "url_latest",
     "pii_scrub",
     "corpus_select",
     # ANN scale paths + multimodal plumbing (rows-only in CORRECTNESS, but

@@ -287,6 +287,55 @@ def o_cosine_neardup() -> str:
     """
 
 
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: embedding-cosine near-dup
+    pairs (sim >= threshold) -> connected components -> one row per
+    embedding with its cluster label (min member id) and cluster size;
+    keep-one-per-cluster = ``where pid == cluster_id``.  The pair stage
+    here is the oracled brute baseline (same construction as
+    cosine_neardup); at 100 TB it swaps for the LSH-bucketed twin
+    (similarity.with_lsh_bucket) with identical downstream clustering.
+    Labeling is the contraction-first CC of operators/components.py —
+    the heavy pair table is touched by ONE aggregation, then pointer
+    jumping runs on the contracted graph."""
+    from resolve_overlap_and_gap_spark.operators import components
+
+    pairs = q_cosine_neardup(spark, sf_dir).select("id_a", "id_b")
+    emb = _read(spark, sf_dir, "embeddings").selectExpr("vec_id as doc_id")
+    cl = components.dedup_clusters(emb, pairs)
+    w = Window.partitionBy("cluster_id")
+    return (cl.withColumn("cluster_size", F.count("*").over(w))
+            .selectExpr("cast(doc_id as bigint) as pid",
+                        "cast(cluster_id as bigint) as cluster_id",
+                        "cast(cluster_size as bigint) as cluster_size"))
+
+
+def o_semantic_clusters() -> str:
+    return f"""
+        with recursive
+        e as (select vec_id as pid, embedding::DOUBLE[] as vec from embeddings),
+        pairs as (select a.pid as id_a, b.pid as id_b
+                  from e a, e b
+                  where a.pid < b.pid
+                    and list_cosine_similarity(a.vec, b.vec) >= {COSDUP_T}),
+        sym as (select id_a as u, id_b as v from pairs
+                union select id_b as u, id_a as v from pairs),
+        reach(u, v) as (select u, v from sym
+                        union
+                        select r.u, s.v from reach r join sym s on r.v = s.u),
+        ids as (select cast(vec_id as bigint) as pid from embeddings),
+        lab as (select i.pid,
+                       cast(coalesce(least(i.pid, min(r.v)), i.pid) as bigint)
+                         as cluster_id
+                from ids i left join reach r on r.u = i.pid
+                group by i.pid)
+        select pid, cluster_id,
+               cast(count(*) over (partition by cluster_id) as bigint)
+                 as cluster_size
+        from lab
+    """
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_read(spark, sf_dir, "documents"))
 
@@ -2374,6 +2423,72 @@ def o_url_canon() -> str:
     """
 
 
+def _snapshot_url_sql(dialect: str) -> str:
+    """Deterministic refetch fixture: ~5 documents share one page (path
+    keyed by doc_id div 5) with the same case/www/port/utm noise as
+    _messy_url_sql, so canonicalization collapses them to one URL with
+    several snapshots."""
+    s = "string" if dialect == SPARK else "varchar"
+    div = "doc_id div 5" if dialect == SPARK else "doc_id // 5"
+    d = f"cast({div} as {s})"
+    return (
+        "concat('HTTP://', case when doc_id % 3 = 0 then 'WWW.' else '' end, "
+        "upper(source), '.Example.COM', "
+        "case when doc_id % 2 = 0 then ':80' else '' end, "
+        f"'/Page/', {d}, "
+        "case when doc_id % 4 = 0 then '/' else '' end, "
+        "case when doc_id % 5 = 0 then '?utm_source=feed' else '' end, "
+        "case when doc_id % 7 = 0 then '#sec2' else '' end)"
+    )
+
+
+_SNAP_TS = "cast(1577836800 + (doc_id * 7919) % 31536000 as bigint)"
+
+
+def q_url_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl refetch collapse (the snapshot-dedup stage of an
+    incremental crawl pipeline, input_hint's (url, warc_ts) pair): every
+    canonical URL keeps only its LATEST fetch (max warc_ts, ties by max
+    doc_id) plus the snapshot count.  One shuffle on url_canon serves
+    both window functions; canonicalization is the same JVM-codegen
+    expression as url_canon, so noisy variants of one page collapse to
+    one key before the window."""
+    pages = _read(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id as bigint) as doc_id",
+        f"{_snapshot_url_sql(SPARK)} as url",
+        f"{_SNAP_TS} as warc_ts")
+    canon = textstats.canonical_url_sql("url", SPARK)
+    j = pages.selectExpr("doc_id", f"{canon} as url_canon", "warc_ts")
+    w = Window.partitionBy("url_canon")
+    wo = w.orderBy(F.desc("warc_ts"), F.desc("doc_id"))
+    return (j.withColumn("rn", F.row_number().over(wo))
+            .withColumn("n_snapshots", F.count("*").over(w))
+            .where("rn = 1")
+            .selectExpr("url_canon", "doc_id as latest_doc",
+                        "warc_ts as latest_ts",
+                        "cast(n_snapshots as bigint) as n_snapshots"))
+
+
+def o_url_latest() -> str:
+    canon = textstats.canonical_url_sql("url", DUCKDB)
+    return f"""
+        with p as (select cast(doc_id as bigint) as doc_id,
+                          {_snapshot_url_sql(DUCKDB)} as url,
+                          {_SNAP_TS} as warc_ts
+                   from documents),
+        c as (select doc_id, {canon} as url_canon, warc_ts from p),
+        r as (select *,
+                     row_number() over (partition by url_canon
+                                        order by warc_ts desc, doc_id desc)
+                       as rn,
+                     count(*) over (partition by url_canon) as n_snapshots
+              from c)
+        select url_canon, doc_id as latest_doc, warc_ts as latest_ts,
+               cast(n_snapshots as bigint) as n_snapshots
+        from r where rn = 1
+    """
+
+
 BLOCKLIST = ["src1.example.com", "src2.example.com", "blocked.net"]
 
 
@@ -2873,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ring": q_knn_ring,
         "cosine_topk": q_cosine_topk,
         "cosine_neardup": q_cosine_neardup,
+        "semantic_clusters": q_semantic_clusters,
         "dedup_exact": q_dedup_exact,
         "quality_stats": q_quality_stats,
         "lang_id": q_lang_id,
@@ -2943,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparse_cells": q_geoparse_cells,
         "dedup_keep": q_dedup_keep,
         "url_canon": q_url_canon,
+        "url_latest": q_url_latest,
         "url_hosts": q_url_hosts,
         "repetition": q_repetition,
         "pii_scrub": q_pii_scrub,
@@ -2963,6 +3080,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ring": o_knn(),
         "cosine_topk": o_cosine_topk(),
         "cosine_neardup": o_cosine_neardup(),
+        "semantic_clusters": o_semantic_clusters(),
         "dedup_exact": o_dedup_exact(),
         "quality_stats": o_quality_stats(),
         "lang_id": o_lang_id(),
@@ -3023,6 +3141,7 @@ def oracle_sql() -> dict[str, str]:
         "geoparse_cells": o_geoparse_cells(),
         "dedup_keep": o_dedup_keep(),
         "url_canon": o_url_canon(),
+        "url_latest": o_url_latest(),
         "url_hosts": o_url_hosts(),
         "repetition": o_repetition(),
         "pii_scrub": o_pii_scrub(),
