@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "seq_pack",
     "mixture_sample",
     "line_dedup",
+    "c4_filters",
     "kmv_distinct",
     "bloom_filter",
     "cms_counts",

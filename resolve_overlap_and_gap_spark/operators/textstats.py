@@ -309,3 +309,82 @@ def geoparse_sql(text_expr: str, dialect: str) -> tuple[str, str]:
     lon = (f"cast(nullif(regexp_extract({text_expr}, {pat}, 2), '') "
            "as double)")
     return lat, lon
+
+
+def c4_page_filter(lines: DataFrame, min_words: int = 3,
+                   min_lines: int = 5) -> DataFrame:
+    """C4 cleanup rules (Raffel et al. 2020 §2.2) over (doc_id, pos,
+    line) rows: a line survives iff it ends in terminal punctuation
+    (. ! ?), carries >= min_words whitespace words, and does not mention
+    'javascript'; a page survives iff no line contains 'lorem ipsum' or
+    '{' and >= min_lines lines survive.  Output one row per document:
+    (doc_id, n_lines, n_kept, page_kept, reason) where reason is the
+    first-failing page rule ('lorem_ipsum' > 'brace' > 'few_sentences' >
+    'kept').
+
+    Scale shape: pure JVM codegen (suffix tests, one split size, two
+    containment checks) then ONE groupBy on doc_id — the line table
+    never shuffles by value, only per-doc counters aggregate (map-side
+    combine).  Reference analog: the validity/size gate family (P3/P4,
+    resolve_overlap_and_gap.sql min-area filters) re-expressed for crawl
+    text."""
+    from pyspark.sql import functions as F
+
+    keep = (
+        "(line like '%.' or line like '%!' or line like '%?') "
+        f"and size(split(line, ' ')) >= {min_words} "
+        "and lower(line) not like '%javascript%'"
+    )
+    return (
+        lines
+        .withColumn("lk", F.expr(f"case when {keep} then 1 else 0 end"))
+        .withColumn("lorem", F.expr(
+            "case when lower(line) like '%lorem ipsum%' then 1 else 0 end"))
+        .withColumn("brace", F.expr(
+            "case when line like '%{%' then 1 else 0 end"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_lines"),
+             F.sum("lk").alias("n_kept"),
+             F.max("lorem").alias("has_lorem"),
+             F.max("brace").alias("has_brace"))
+        .selectExpr(
+            "cast(doc_id as bigint) as doc_id",
+            "cast(n_lines as bigint) as n_lines",
+            "cast(n_kept as bigint) as n_kept",
+            "cast(case when has_lorem = 0 and has_brace = 0 "
+            f"and n_kept >= {min_lines} then 1 else 0 end as bigint) "
+            "as page_kept",
+            "case when has_lorem = 1 then 'lorem_ipsum' "
+            "when has_brace = 1 then 'brace' "
+            f"when n_kept < {min_lines} then 'few_sentences' "
+            "else 'kept' end as reason"))
+
+
+def c4_page_filter_duckdb_sql(lines_sql: str, min_words: int = 3,
+                              min_lines: int = 5) -> str:
+    """DuckDB twin of c4_page_filter over the same (doc_id, pos, line)
+    relation."""
+    return f"""
+        with l as ({lines_sql}),
+        f as (select doc_id,
+                     case when (line like '%.' or line like '%!'
+                                or line like '%?')
+                           and len(string_split(line, ' ')) >= {min_words}
+                           and lower(line) not like '%javascript%'
+                          then 1 else 0 end as lk,
+                     case when lower(line) like '%lorem ipsum%'
+                          then 1 else 0 end as lorem,
+                     case when line like '%{{%' then 1 else 0 end as brace
+              from l)
+        select cast(doc_id as bigint) as doc_id,
+               cast(count(*) as bigint) as n_lines,
+               cast(sum(lk) as bigint) as n_kept,
+               cast(case when max(lorem) = 0 and max(brace) = 0
+                          and sum(lk) >= {min_lines} then 1 else 0 end
+                    as bigint) as page_kept,
+               case when max(lorem) = 1 then 'lorem_ipsum'
+                    when max(brace) = 1 then 'brace'
+                    when sum(lk) < {min_lines} then 'few_sentences'
+                    else 'kept' end as reason
+        from f group by doc_id
+    """

@@ -552,6 +552,47 @@ def o_line_dedup() -> str:
     return dedup.line_dedup_docs_duckdb_sql(tokens_per_line=LINE_TOKENS)
 
 
+def _noisy_line_expr(dialect: str) -> str:
+    """Deterministic crawl noise over (doc_id, pos, line) pseudo-lines so
+    every C4 rule fires: drop-worthy no-punctuation lines ((d+p)%3=0),
+    'javascript' boilerplate ((7d+p)%11=0), too-short lines ((d+p)%13=0),
+    and page-level 'lorem ipsum' (d%97=0) / '{' (d%89=3) markers on the
+    first line.  Identical arithmetic in both dialects."""
+    if dialect == SPARK:
+        trunc = "array_join(slice(split(line, ' '), 1, 2), ' ')"
+    else:
+        trunc = "array_to_string((string_split(line, ' '))[1:2], ' ')"
+    return (
+        "concat("
+        "case when (doc_id * 7 + pos) % 11 = 0 then 'javascript ' else '' end, "
+        f"case when (doc_id + pos) % 13 = 0 then {trunc} else line end, "
+        "case when (doc_id + pos) % 3 <> 0 then '.' else '' end, "
+        "case when doc_id % 97 = 0 and pos = 1 then ' lorem ipsum.' else '' end, "
+        "case when doc_id % 89 = 3 and pos = 1 then ' {.' else '' end)"
+    )
+
+
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page-cleanup verdicts (textstats.c4_page_filter): the famous
+    Raffel et al. §2.2 heuristics — terminal-punctuation line filter,
+    >=3-word lines, 'javascript' line drop, 'lorem ipsum'/'{' page drop,
+    >=5 surviving sentences — over deterministically noised pseudo-lines
+    of the documents table.  One groupBy on doc_id; line rules are all
+    JVM codegen."""
+    docs = _read(spark, sf_dir, "documents")
+    lines = dedup.docs_to_lines(docs, tokens_per_line=8)
+    noisy = lines.selectExpr(
+        "doc_id", "pos", f"{_noisy_line_expr(SPARK)} as line")
+    return textstats.c4_page_filter(noisy)
+
+
+def o_c4_filters() -> str:
+    lines_sql = dedup.docs_to_lines_duckdb_sql(tokens_per_line=8)
+    noisy = (f"select doc_id, pos, {_noisy_line_expr(DUCKDB)} as line "
+             f"from ({lines_sql})")
+    return textstats.c4_page_filter_duckdb_sql(noisy)
+
+
 KMV_K = 64
 
 
@@ -3001,6 +3042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "mixture_sample": q_mixture_sample,
         "line_dedup": q_line_dedup,
+        "c4_filters": q_c4_filters,
         "kmv_distinct": q_kmv_distinct,
         "bloom_filter": q_bloom_filter,
         "cms_counts": q_cms_counts,
@@ -3093,6 +3135,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack": o_seq_pack(),
         "mixture_sample": o_mixture_sample(),
         "line_dedup": o_line_dedup(),
+        "c4_filters": o_c4_filters(),
         "kmv_distinct": o_kmv_distinct(),
         "bloom_filter": o_bloom_filter(),
         "cms_counts": o_cms_counts(),
