@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "embed_quantize",
     "multimodal_features",
     "thumbnail_invariants",
+    "image_dhash",
     # relational / semi-structured
     "star_join",
     "json_props",

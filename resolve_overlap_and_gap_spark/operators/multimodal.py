@@ -813,6 +813,88 @@ def _decode_image(buf: bytes) -> np.ndarray:
 
 
 
+DHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("dhash_hi", T.LongType()),
+    T.StructField("dhash_lo", T.LongType()),
+])
+
+
+def image_dhash(media: DataFrame, grid_w: int = 9,
+                grid_h: int = 8) -> DataFrame:
+    """Perceptual difference hash (dHash) — the image analog of text
+    near-dup fingerprinting: decode, pool to a grid_h x grid_w cell
+    grid, and set one bit per horizontally adjacent cell pair where the
+    right cell is strictly brighter.  Re-encodings of the same picture
+    (PNG vs JPEG vs progressive, different qualities) land the same or
+    near-identical 64-bit hash, so an exact or small-Hamming-radius
+    equi-join dedups images across codecs the way simhash dedups text.
+
+    INTEGER-EXACT by construction: cells are the np.array_split
+    partition of rows/cols (first h%grid_h / w%grid_w groups one
+    larger), brightness is the integer SUM of all channel bytes in the
+    cell, and the comparison cross-multiplies sums by cell pixel counts
+    (sum_r * n_l > sum_l * n_r) — no float means, so any engine (the
+    DuckDB oracle recomputes the hash in closed form) lands the same
+    bits.  Bit k = i*(grid_w-1) + j (row-major over comparisons),
+    returned as two unsigned 32-bit halves in bigints to stay inside
+    signed-64 SQL arithmetic.
+
+    Scale shape: same mapInPandas iterator as extract_features — JPEGs
+    in an Arrow batch decode as ONE vectorized cursor fleet, the hash is
+    two np.add.reduceat passes + one integer compare per image; no
+    per-row Python at the Spark level and no shuffle at all (the
+    downstream dedup groupBy/join shuffles on the 8-byte hash, not the
+    image)."""
+
+    from resolve_overlap_and_gap_spark.operators.jpeg import decode_jpeg_batch
+
+    nbits = grid_h * (grid_w - 1)
+    if nbits > 64:
+        raise ValueError("dhash grid exceeds 64 bits")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bufs = [bytes(b) for b in pdf["payload"]]
+            jidx = [i for i, b in enumerate(bufs) if b[:2] == b"\xff\xd8"]
+            imgs: dict[int, np.ndarray] = {}
+            if jidx:
+                for i, im in zip(jidx,
+                                 decode_jpeg_batch([bufs[i] for i in jidx])):
+                    imgs[i] = im
+            rows = []
+            for i, mid in enumerate(pdf["media_id"]):
+                img = imgs.get(i)
+                if img is None:
+                    img = _decode_image(bufs[i])
+                h, w, _c = img.shape
+                a = img.astype(np.int64).sum(axis=2)
+                # np.array_split boundaries: first r groups get q+1
+                def starts(n, g):
+                    q, r = divmod(n, g)
+                    return np.array([k * q + min(k, r) for k in range(g)],
+                                    dtype=np.int64)
+                rs, cs = starts(h, grid_h), starts(w, grid_w)
+                rn = np.diff(np.append(rs, h))
+                cn = np.diff(np.append(cs, w))
+                s = np.add.reduceat(np.add.reduceat(a, rs, axis=0), cs, axis=1)
+                n = np.outer(rn, cn)
+                bits = (s[:, 1:] * n[:, :-1]) > (s[:, :-1] * n[:, 1:])
+                v = 0
+                for k, b in enumerate(bits.ravel()):
+                    if b:
+                        v |= 1 << k
+                rows.append((int(mid), w, h,
+                             (v >> 32) & 0xFFFFFFFF, v & 0xFFFFFFFF))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height",
+                               "dhash_hi", "dhash_lo"])
+
+    return media.mapInPandas(run, DHASH_SCHEMA)
+
+
 def extract_features(media: DataFrame, grid: int = 4) -> DataFrame:
     """Decode + pooled-feature extraction over mapInPandas: iterator of Arrow
     batches in, iterator out — the scale-path shape (no per-row Python at

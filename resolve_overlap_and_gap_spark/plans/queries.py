@@ -2279,6 +2279,77 @@ def o_multimodal_invariants_prog() -> str:
     return o_multimodal_invariants_420()
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprints (multimodal.image_dhash) over the
+    full mixed-codec blend — fake headers, real PNG, baseline/4:2:0/
+    PROGRESSIVE JPEG — of block-gradient fixtures.  The hash is
+    integer-exact (cell SUMS cross-multiplied by pixel counts, no
+    floats) and every codec decodes block-gradient content bit-exactly,
+    so the DuckDB oracle recomputes all 64 bits in closed form from the
+    pixel formula WITHOUT any decoder: one hash mismatch anywhere in
+    decode (PNG unfilter, JPEG entropy/chroma/progressive assembly)
+    flips bits and fails the query.  This is the image-side near-dup
+    key: exact equi-join on (dhash_hi, dhash_lo) dedups re-encoded
+    copies the way simhash dedups text."""
+    from resolve_overlap_and_gap_spark.operators.multimodal import (
+        image_dhash,
+        synthesize_media,
+    )
+
+    n = _read(spark, sf_dir, "documents").count()
+    media = synthesize_media(spark, n,
+                             partitions=spark.sparkContext.defaultParallelism,
+                             fmt="mixed", content="blockgrad")
+    return image_dhash(media)
+
+
+def o_image_dhash() -> str:
+    return """
+        with m as (select row_number() over () - 1 as k from documents),
+        dims as (select k, 16 + 16*((k*37)%4) as w, 16 + 16*((k*53)%4) as h,
+                        k%96 as c0 from m),
+        cg as (select k, j,
+                      (w//9) + case when j < (w%9) then 1 else 0 end as cs,
+                      j*(w//9) + least(j, w%9) as cst
+               from dims, unnest(generate_series(0, 8)) as tj(j)),
+        cgx as (select k, j, cs, sum(x//16) as gx
+                from cg, unnest(generate_series(cst, cst + cs - 1)) as ux(x)
+                group by k, j, cs),
+        rg as (select k, i,
+                      (h//8) + case when i < (h%8) then 1 else 0 end as rs,
+                      i*(h//8) + least(i, h%8) as rst
+               from dims, unnest(generate_series(0, 7)) as ti(i)),
+        rgy as (select k, i, rs, sum(y//16) as gy
+                from rg, unnest(generate_series(rst, rst + rs - 1)) as uy(y)
+                group by k, i, rs),
+        cells as (select d.k, r.i, c.j,
+                         3*(8*c.gx*r.rs + 8*r.gy*c.cs + d.c0*c.cs*r.rs) as s,
+                         r.rs * c.cs as n
+                  from dims d
+                  join rgy r on r.k = d.k
+                  join cgx c on c.k = d.k),
+        bits as (select a.k, a.i, a.j,
+                        case when b.s * a.n > a.s * b.n then 1 else 0 end
+                          as bit
+                 from cells a
+                 join cells b on b.k = a.k and b.i = a.i and b.j = a.j + 1),
+        hv as (select k,
+                      sum(case when (i*8 + j) >= 32 then
+                            cast(bit as bigint) * (1::BIGINT << (i*8 + j - 32))
+                          else 0 end) as dhash_hi,
+                      sum(case when (i*8 + j) < 32 then
+                            cast(bit as bigint) * (1::BIGINT << (i*8 + j))
+                          else 0 end) as dhash_lo
+               from bits group by k)
+        select cast(d.k as bigint) as media_id,
+               cast(d.w as int) as width,
+               cast(d.h as int) as height,
+               cast(coalesce(v.dhash_hi, 0) as bigint) as dhash_hi,
+               cast(coalesce(v.dhash_lo, 0) as bigint) as dhash_lo
+        from dims d left join hv v on v.k = d.k
+    """
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding int8 storage quantization (similarity.quantize_embeddings):
     per-dimension symmetric scales from one posexplode aggregation, the
@@ -3072,6 +3143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_invariants": q_multimodal_invariants,
         "multimodal_invariants_420": q_multimodal_invariants_420,
         "multimodal_invariants_prog": q_multimodal_invariants_prog,
+        "image_dhash": q_image_dhash,
         "thumbnail_invariants": q_thumbnail_invariants,
         "embed_quantize": q_embed_quantize,
         "audio_invariants": q_audio_invariants,
@@ -3162,6 +3234,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_invariants": o_multimodal_invariants(),
         "multimodal_invariants_420": o_multimodal_invariants_420(),
         "multimodal_invariants_prog": o_multimodal_invariants_prog(),
+        "image_dhash": o_image_dhash(),
         "thumbnail_invariants": o_thumbnail_invariants(),
         "embed_quantize": o_embed_quantize(),
         "audio_invariants": o_audio_invariants(),

@@ -239,3 +239,55 @@ def test_resize_images_roundtrip(spark):
         th = _decode_image(bytes(r.thumb))
         assert th.shape == (r.height, r.width, r.channels)
         assert abs(float(th.mean()) - r.mean_byte) < 1e-9
+
+
+def test_image_dhash_dedups_reencodings():
+    """dHash is the cross-codec image near-dup key: the SAME picture
+    re-encoded as PNG / baseline JPEG / 4:2:0 / progressive at different
+    qualities lands within a small Hamming radius (smooth content:
+    identical), while different pictures land far apart."""
+    import numpy as np
+
+    from resolve_overlap_and_gap_spark.operators.jpeg import encode_jpeg
+    from resolve_overlap_and_gap_spark.operators.multimodal import (
+        _decode_image,
+        encode_png,
+    )
+
+    def dhash64(img, grid_w=9, grid_h=8):
+        a = img.astype(np.int64).sum(axis=2)
+        h, w = a.shape
+
+        def starts(n, g):
+            q, r = divmod(n, g)
+            return np.array([k * q + min(k, r) for k in range(g)], np.int64)
+
+        rs, cs = starts(h, grid_h), starts(w, grid_w)
+        rn = np.diff(np.append(rs, h))
+        cn = np.diff(np.append(cs, w))
+        s = np.add.reduceat(np.add.reduceat(a, rs, axis=0), cs, axis=1)
+        n = np.outer(rn, cn)
+        bits = (s[:, 1:] * n[:, :-1]) > (s[:, :-1] * n[:, 1:])
+        return sum(1 << k for k, b in enumerate(bits.ravel()) if b)
+
+    # smooth photographic-like content: strong cell-margin differences
+    yy, xx = np.mgrid[0:64, 0:96]
+    smooth = np.clip(40 + xx + 0.5 * yy + 20 * np.sin(xx / 15.0), 0,
+                     255).astype(np.uint8)
+    img = np.stack([smooth, smooth // 2 + 30, 255 - smooth], axis=2)
+    encs = [
+        encode_png(img),
+        encode_jpeg(img, 95),
+        encode_jpeg(img, 85, subsampling="420", restart_interval=1),
+        encode_jpeg(img, 90, subsampling="420", progressive=True),
+        encode_jpeg(img, 75, subsampling="422", progressive=True,
+                    eob_runs=True),
+    ]
+    hashes = [dhash64(_decode_image(b)) for b in encs]
+    ref = hashes[0]
+    for hv in hashes[1:]:
+        assert bin(hv ^ ref).count("1") <= 6   # near-dup radius (of 64)
+    # a genuinely different picture (inverted brightness gradient, so
+    # every cell comparison flips) is far away
+    far = dhash64(_decode_image(encode_png(255 - img)))
+    assert bin(far ^ ref).count("1") > 16
