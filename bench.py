@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "multimodal_features",
     "thumbnail_invariants",
     "image_dhash",
+    "audio_fingerprint",
     # relational / semi-structured
     "star_join",
     "json_props",

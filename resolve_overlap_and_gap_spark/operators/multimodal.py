@@ -249,12 +249,19 @@ AUDIO_FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def synthesize_audio(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+def synthesize_audio(spark: SparkSession, n: int, partitions: int = 8,
+                     content: str = "square") -> DataFrame:
     """Deterministic audio table: per media_id a +/-A square wave (PCM16
     mono) with amplitude A = 1000 + id % 2000, half-period 8 + id % 16 and
     length 2048 + id % 1024 — so peak == rms == A exactly and the
     zero-crossing count has the closed form floor((len-1)/half): the
-    decode + feature pipeline is SQL-oracle-comparable (audio_invariants)."""
+    decode + feature pipeline is SQL-oracle-comparable (audio_invariants).
+
+    content='am' amplitude-modulates the same square wave per 256-sample
+    frame: amp_f = 1000 + 500 * ((id + f) % 3), so every frame's energy
+    is EXACTLY 256 * amp_f^2 (partial last frame: rem * amp^2) and the
+    energy-delta fingerprint (audio_fingerprint) has a closed form the
+    SQL oracle recomputes without decoding."""
     base = spark.range(0, n, 1, partitions).select(
         F.col("id").alias("media_id"),
         F.lit("audio").alias("kind"),
@@ -264,16 +271,69 @@ def synthesize_audio(spark: SparkSession, n: int, partitions: int = 8) -> DataFr
     )
 
     @F.pandas_udf(T.BinaryType())
-    def payload(amp: pd.Series, half: pd.Series, length: pd.Series) -> pd.Series:
+    def payload(mid: pd.Series, amp: pd.Series, half: pd.Series,
+                length: pd.Series) -> pd.Series:
         out = []
-        for a, hp, ln in zip(amp, half, length):
+        for m, a, hp, ln in zip(mid, amp, half, length):
             i = np.arange(int(ln), dtype=np.int64)
-            s = (int(a) * (1 - 2 * ((i // int(hp)) % 2))).astype(np.int16)
+            sign = 1 - 2 * ((i // int(hp)) % 2)
+            if content == "am":
+                a_i = 1000 + 500 * ((int(m) + i // 256) % 3)
+            else:
+                a_i = int(a)
+            s = (a_i * sign).astype(np.int16)
             out.append(encode_wav(s))
         return pd.Series(out)
 
     return base.select("media_id", "kind",
-                       payload("amp", "half", "length").alias("payload"))
+                       payload("media_id", "amp", "half",
+                               "length").alias("payload"))
+
+
+FP_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("fp_hi", T.LongType()),
+    T.StructField("fp_lo", T.LongType()),
+])
+
+
+def audio_fingerprint(media: DataFrame, frame: int = 256,
+                      nbits: int = 64) -> DataFrame:
+    """Energy-delta acoustic fingerprint — the audio analog of
+    image_dhash and the core move of landmark fingerprinting: bit f is
+    set iff frame f+1 carries strictly more energy than frame f, where a
+    frame's energy is the INTEGER sum of squared PCM16 samples (channel
+    0) over `frame` samples and frames past the stream end count as
+    energy 0.  Integer-exact by construction, invariant to polarity and
+    phase (energy ignores sign), sensitive to the loudness envelope —
+    re-encodings of one recording collide, different envelopes diverge.
+    Returned as two unsigned-32 halves in bigints (same convention as
+    image_dhash).  Same mapInPandas Arrow-batch shape as audio_features;
+    the downstream dedup shuffles 8-byte hashes, never waveforms."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                s, _rate = _decode_wav(bytes(buf))
+                x = s[:, 0].astype(np.int64)
+                nf = nbits + 1
+                pad = np.zeros(nf * frame, np.int64)
+                m = min(len(x), nf * frame)
+                pad[:m] = x[:m]
+                e = (pad * pad).reshape(nf, frame).sum(axis=1)
+                bits = e[1:] > e[:-1]
+                v = 0
+                for k, b in enumerate(bits):
+                    if b:
+                        v |= 1 << k
+                rows.append((int(mid), len(x),
+                             (v >> 32) & 0xFFFFFFFF, v & 0xFFFFFFFF))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "fp_hi", "fp_lo"])
+
+    return media.mapInPandas(run, FP_SCHEMA)
 
 
 def audio_features(media: DataFrame) -> DataFrame:

@@ -2120,6 +2120,57 @@ def q_multimodal_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-dup fingerprints (multimodal.audio_fingerprint):
+    energy-delta bits over 256-sample frames of amplitude-modulated
+    square waves (synthesize_audio content='am').  Frame energies are
+    exactly 256 * amp_f^2 (partial last frame rem * amp^2) with
+    amp_f = 1000 + 500*((id+f)%3), so the DuckDB oracle recomputes the
+    full 64-bit fingerprint in closed form without decoding — any WAV
+    parse or energy-sum defect flips bits and fails the hash compare."""
+    from resolve_overlap_and_gap_spark.operators.multimodal import (
+        audio_fingerprint,
+        synthesize_audio,
+    )
+
+    n = _read(spark, sf_dir, "documents").count()
+    media = synthesize_audio(spark, n,
+                             partitions=spark.sparkContext.defaultParallelism,
+                             content="am")
+    return audio_fingerprint(media)
+
+
+def o_audio_fingerprint() -> str:
+    amp = "(1000 + 500*((d.k + t.f) % 3))"
+    return f"""
+        with m as (select row_number() over () - 1 as k from documents),
+        d as (select k, 2048 + k % 1024 as ln from m),
+        e as (select d.k, t.f,
+                     case when t.f < d.ln // 256
+                          then 256 * {amp} * {amp}
+                          when t.f = d.ln // 256 and d.ln % 256 > 0
+                          then (d.ln % 256) * {amp} * {amp}
+                          else 0 end as en
+              from d, unnest(generate_series(0, 64)) as t(f)),
+        b as (select a.k, a.f, case when n.en > a.en then 1 else 0 end as bit
+              from e a join e n on n.k = a.k and n.f = a.f + 1
+              where a.f < 64),
+        h as (select k,
+                     sum(case when f >= 32 then
+                           cast(bit as bigint) * (1::BIGINT << (f - 32))
+                         else 0 end) as fp_hi,
+                     sum(case when f < 32 then
+                           cast(bit as bigint) * (1::BIGINT << f)
+                         else 0 end) as fp_lo
+              from b group by k)
+        select cast(d.k as bigint) as media_id,
+               cast(d.ln as bigint) as n_samples,
+               cast(h.fp_hi as bigint) as fp_hi,
+               cast(h.fp_lo as bigint) as fp_lo
+        from d join h on h.k = d.k
+    """
+
+
 def q_audio_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASH-EXACT oracle for the AUDIO pipeline: deterministic +/-A square
     waves through the RIFF/WAVE PCM16 encoder, the vectorized decoder and
@@ -3147,6 +3198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "thumbnail_invariants": q_thumbnail_invariants,
         "embed_quantize": q_embed_quantize,
         "audio_invariants": q_audio_invariants,
+        "audio_fingerprint": q_audio_fingerprint,
         "video_invariants": q_video_invariants,
         "detect_polygons": q_detect_polygons,
         "resolve_polygons": q_resolve_polygons,
@@ -3238,6 +3290,7 @@ def oracle_sql() -> dict[str, str]:
         "thumbnail_invariants": o_thumbnail_invariants(),
         "embed_quantize": o_embed_quantize(),
         "audio_invariants": o_audio_invariants(),
+        "audio_fingerprint": o_audio_fingerprint(),
         "video_invariants": o_video_invariants(),
         "detect_boxes": o_detect_boxes(),
         "detect_boxes_balanced": o_detect_boxes(),

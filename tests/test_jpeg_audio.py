@@ -178,3 +178,28 @@ def test_video_frame_sample_seeks_only_sampled_frames(spark):
         for r in rs:
             assert (r.width, r.height) == (32, 24)
             assert r.mean_byte == float((k * 7 + r.frame * 11) % 256)
+
+
+def test_audio_fingerprint_polarity_phase_invariant():
+    """The energy-delta fingerprint (multimodal.audio_fingerprint bit
+    rule) ignores polarity and phase — re-encodings/inversions of one
+    recording collide — while a different loudness envelope diverges."""
+    import numpy as np
+
+    def fp(x, frame=256, nbits=64):
+        x = x.astype(np.int64)
+        nf = nbits + 1
+        pad = np.zeros(nf * frame, np.int64)
+        pad[:min(len(x), nf * frame)] = x[:nf * frame]
+        e = (pad * pad).reshape(nf, frame).sum(axis=1)
+        return sum(1 << k for k, b in enumerate(e[1:] > e[:-1]) if b)
+
+    i = np.arange(3000, dtype=np.int64)
+    amp = 1000 + 500 * ((i // 256) % 3)
+    sq = 1 - 2 * ((i // 11) % 2)
+    a = (amp * sq).astype(np.int16)
+    inverted = (-a).astype(np.int16)
+    shifted_phase = (amp * (1 - 2 * (((i + 5) // 11) % 2))).astype(np.int16)
+    assert fp(a) == fp(inverted) == fp(shifted_phase)
+    other_env = ((1000 + 500 * (((i // 256) + 1) % 3)) * sq).astype(np.int16)
+    assert fp(other_env) != fp(a)
