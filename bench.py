@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "mixture_sample",
     "line_dedup",
     "c4_filters",
+    "ngram_stats",
     "kmv_distinct",
     "bloom_filter",
     "cms_counts",

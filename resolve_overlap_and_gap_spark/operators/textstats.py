@@ -388,3 +388,63 @@ def c4_page_filter_duckdb_sql(lines_sql: str, min_words: int = 3,
                     else 'kept' end as reason
         from f group by doc_id
     """
+
+
+def kn_ngram_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Kneser-Ney count tables — the aggregate an n-gram LM build needs
+    per vocabulary word: raw unigram count c(w), left continuation count
+    N1+(.w) (distinct predecessors — the KN lower-order numerator) and
+    right continuation count N1+(w.) (distinct successors — the backoff
+    weight input).  Output one row per word:
+    (word, c_unigram, n_left, n_right).
+
+    Scale shape: tokens explode once; bigrams derive in-kernel from the
+    token array (zip of two slices — no positional self-join); both
+    distinct-context counts come from ONE distinct over bigram types
+    followed by two skinny aggregations.  Everything is JVM codegen —
+    split/slice/explode/groupBy — and the only wide rows are (w1, w2)
+    pairs, never documents.  Word boundaries after shared normalization
+    (lower + whitespace collapse), so any engine lands identical
+    counts."""
+    from pyspark.sql import functions as F
+
+    from resolve_overlap_and_gap_spark.operators.dedup import normalize_sql
+
+    norm = normalize_sql(text_col, SPARK)
+    toks = docs.selectExpr(f"split({norm}, ' ') as t")
+    uni = (toks.selectExpr("explode(t) as word")
+           .groupBy("word").agg(F.count("*").alias("c_unigram")))
+    big = toks.selectExpr(
+        "explode(arrays_zip(slice(t, 1, size(t) - 1), "
+        "slice(t, 2, size(t) - 1))) as bg"
+    ).selectExpr("bg['0'] as w1", "bg['1'] as w2").distinct()
+    left = big.groupBy(F.col("w2").alias("word")).agg(
+        F.count("*").alias("n_left"))
+    right = big.groupBy(F.col("w1").alias("word")).agg(
+        F.count("*").alias("n_right"))
+    return (uni.join(left, "word", "left").join(right, "word", "left")
+            .selectExpr("word",
+                        "cast(c_unigram as bigint) as c_unigram",
+                        "cast(coalesce(n_left, 0) as bigint) as n_left",
+                        "cast(coalesce(n_right, 0) as bigint) as n_right"))
+
+
+def kn_ngram_stats_duckdb_sql(text_col: str = "text",
+                              table: str = "documents") -> str:
+    """DuckDB twin of kn_ngram_stats."""
+    from resolve_overlap_and_gap_spark.operators.dedup import normalize_sql
+
+    norm = normalize_sql(text_col, "duckdb")
+    return f"""
+        with t as (select string_split({norm}, ' ') as t from {table}),
+        uni as (select u.word, count(*) as c_unigram
+                from t, unnest(t.t) as u(word) group by u.word),
+        big as (select distinct t.t[i] as w1, t.t[i+1] as w2
+                from t, unnest(generate_series(1, len(t.t) - 1)) as g(i)),
+        l as (select w2 as word, count(*) as n_left from big group by w2),
+        r as (select w1 as word, count(*) as n_right from big group by w1)
+        select uni.word, cast(uni.c_unigram as bigint) as c_unigram,
+               cast(coalesce(l.n_left, 0) as bigint) as n_left,
+               cast(coalesce(r.n_right, 0) as bigint) as n_right
+        from uni left join l using (word) left join r using (word)
+    """

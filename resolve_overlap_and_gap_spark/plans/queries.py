@@ -572,6 +572,19 @@ def _noisy_line_expr(dialect: str) -> str:
     )
 
 
+def q_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney LM count tables (textstats.kn_ngram_stats): per word
+    the raw unigram count and the left/right distinct-context
+    continuation counts that the KN smoothing formula consumes.  One
+    token explode + one bigram-type distinct + three skinny groupBys,
+    all JVM codegen."""
+    return textstats.kn_ngram_stats(_read(spark, sf_dir, "documents"))
+
+
+def o_ngram_stats() -> str:
+    return textstats.kn_ngram_stats_duckdb_sql()
+
+
 def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 page-cleanup verdicts (textstats.c4_page_filter): the famous
     Raffel et al. §2.2 heuristics — terminal-punctuation line filter,
@@ -3165,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "line_dedup": q_line_dedup,
         "c4_filters": q_c4_filters,
+        "ngram_stats": q_ngram_stats,
         "kmv_distinct": q_kmv_distinct,
         "bloom_filter": q_bloom_filter,
         "cms_counts": q_cms_counts,
@@ -3260,6 +3274,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": o_mixture_sample(),
         "line_dedup": o_line_dedup(),
         "c4_filters": o_c4_filters(),
+        "ngram_stats": o_ngram_stats(),
         "kmv_distinct": o_kmv_distinct(),
         "bloom_filter": o_bloom_filter(),
         "cms_counts": o_cms_counts(),
