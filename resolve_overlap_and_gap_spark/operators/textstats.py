@@ -401,11 +401,14 @@ def kn_ngram_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Scale shape: tokens explode once; bigrams derive in-kernel from the
     token array (zip of two slices — no positional self-join); both
     distinct-context counts come from ONE distinct over bigram types
-    followed by two skinny aggregations.  Everything is JVM codegen —
-    split/slice/explode/groupBy — and the only wide rows are (w1, w2)
-    pairs, never documents.  Word boundaries after shared normalization
-    (lower + whitespace collapse), so any engine lands identical
-    counts."""
+    whose output is consumed ONCE — each distinct pair stacks into two
+    tagged rows (w2/left, w1/right) so a single per-word aggregation
+    produces both counts (a naive left/right pair of groupBys would
+    recompute the heavy distinct twice; plan-audited to one Exchange
+    per stage here).  Everything is JVM codegen — split/slice/explode/
+    stack/groupBy — and the only wide rows are (w1, w2) pairs, never
+    documents.  Word boundaries after shared normalization (lower +
+    whitespace collapse), so any engine lands identical counts."""
     from pyspark.sql import functions as F
 
     from resolve_overlap_and_gap_spark.operators.dedup import normalize_sql
@@ -418,11 +421,13 @@ def kn_ngram_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "explode(arrays_zip(slice(t, 1, size(t) - 1), "
         "slice(t, 2, size(t) - 1))) as bg"
     ).selectExpr("bg['0'] as w1", "bg['1'] as w2").distinct()
-    left = big.groupBy(F.col("w2").alias("word")).agg(
-        F.count("*").alias("n_left"))
-    right = big.groupBy(F.col("w1").alias("word")).agg(
-        F.count("*").alias("n_right"))
-    return (uni.join(left, "word", "left").join(right, "word", "left")
+    ctx = (big.selectExpr(
+        "stack(2, w2, cast(1 as bigint), w1, cast(0 as bigint)) "
+        "as (word, is_left)")
+        .groupBy("word")
+        .agg(F.sum("is_left").alias("n_left"),
+             F.sum(1 - F.col("is_left")).alias("n_right")))
+    return (uni.join(ctx, "word", "left")
             .selectExpr("word",
                         "cast(c_unigram as bigint) as c_unigram",
                         "cast(coalesce(n_left, 0) as bigint) as n_left",
