@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "semantic_clusters",   # SemDeDup: cosine pairs -> CC -> cluster labels
     "top_terms",
     "bpe_tokens",
+    "bpe_merges",
     "url_canon",
     "url_latest",
     "pii_scrub",

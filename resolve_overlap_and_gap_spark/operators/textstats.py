@@ -11,6 +11,7 @@ query and oracle cannot drift.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 
 from resolve_overlap_and_gap_spark.derive import SPARK, norm_ws_sql, regex_replace_all_sql
@@ -453,3 +454,74 @@ def kn_ngram_stats_duckdb_sql(text_col: str = "text",
                cast(coalesce(r.n_right, 0) as bigint) as n_right
         from uni left join l using (word) left join r using (word)
     """
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 10,
+              text_col: str = "text") -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) — the
+    merge-table build of an LLM tokenizer, in the shape industrial Spark
+    trainers use: the corpus collapses once to a (word-type, frequency)
+    table — the only relation the algorithm ever needs — then each of
+    n_merges rounds (1) explodes adjacent symbol pairs weighted by word
+    frequency, (2) aggregates pair counts in one shuffle, (3) collects
+    exactly ONE row (the argmax pair; driver transfer is O(n_merges)
+    total), and (4) rewrites the word table with the merge applied
+    (greedy left-to-right, standard BPE semantics) via an Arrow-batched
+    pandas UDF, localCheckpoint-truncated so the plan never grows.
+
+    Ties break deterministically by (count desc, left asc, right asc) —
+    engine-order-independent, unlike the insertion-order tie rule of the
+    original reference implementation (documented divergence).
+
+    Output: (rank, left, right, pair_count), one row per learned merge.
+    At 100 TB the word-type table is vocabulary-sized (Heaps' law), so
+    every per-round relation is tiny compared to the corpus — the
+    corpus is read exactly once."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from resolve_overlap_and_gap_spark.operators.dedup import normalize_sql
+
+    spark = docs.sparkSession
+    norm = normalize_sql(text_col, SPARK)
+    words = (docs.selectExpr(f"explode(split({norm}, ' ')) as w")
+             .where("w <> ''")
+             .groupBy("w").agg(F.count("*").alias("freq"))
+             .selectExpr("filter(split(w, '(?!^)'), x -> x <> '') as syms",
+                         "freq")
+             .localCheckpoint())
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        pairs = words.selectExpr(
+            "explode(arrays_zip(slice(syms, 1, size(syms) - 1), "
+            "slice(syms, 2, size(syms) - 1))) as p", "freq"
+        ).selectExpr("p['0'] as l", "p['1'] as r", "freq")
+        top = (pairs.groupBy("l", "r").agg(F.sum("freq").alias("cnt"))
+               .orderBy(F.desc("cnt"), "l", "r").limit(1).collect())
+        if not top:
+            break
+        left, right, cnt = top[0][0], top[0][1], int(top[0][2])
+        merges.append((rank, left, right, cnt))
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def apply_merge(col: pd.Series) -> pd.Series:
+            out = []
+            for syms in col:
+                res = []
+                i = 0
+                n = len(syms)
+                while i < n:
+                    if (i + 1 < n and syms[i] == left
+                            and syms[i + 1] == right):
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            return pd.Series(out)
+
+        words = (words.withColumn("syms", apply_merge("syms"))
+                 .localCheckpoint())
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long")

@@ -381,6 +381,16 @@ def o_bpe_tokens() -> str:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (textstats.bpe_train): learn 10 merges over
+    the corpus word-frequency table — one pair-count shuffle + one argmax
+    row to the driver + one Arrow-batched merge rewrite per round; the
+    corpus is scanned once.  Rows-only in the driver sweep (the argmax
+    loop is not one SQL statement); pinned exactly by
+    tests/test_bpe_train.py against an independent in-memory trainer."""
+    return textstats.bpe_train(_read(spark, sf_dir, "documents"), n_merges=10)
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprints(_read(spark, sf_dir, "documents"))
 
@@ -3170,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "bpe_tokens": q_bpe_tokens,
+        "bpe_merges": q_bpe_merges,
         "minhash_sig": q_minhash_sig,
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
