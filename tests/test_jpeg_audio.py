@@ -65,10 +65,17 @@ def test_jpeg_quality_monotone_size():
 
 
 def test_jpeg_rejects_non_baseline():
+    # progressive (SOF2) is SUPPORTED since round 5: a scanless SOF2
+    # stream fails for the right reason (no SOS), not as a rejection
     sof2 = (b"\xff\xd8" + struct.pack(">HH", 0xFFC2, 13)
             + struct.pack(">BHHB", 8, 4, 4, 1) + bytes([1, 0x11, 0]))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="missing SOF/SOS"):
         decode_jpeg(sof2)
+    # arithmetic coding (SOF10) stays a parse-level boundary
+    sof10 = (b"\xff\xd8" + struct.pack(">HH", 0xFFCA, 13)
+             + struct.pack(">BHHB", 8, 4, 4, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sof10)
     # restart intervals are SUPPORTED since round 5; a DRI-only stream now
     # fails for the right reason (no SOF/SOS), not as a feature rejection
     dri = (b"\xff\xd8" + struct.pack(">HHH", 0xFFDD, 4, 8))

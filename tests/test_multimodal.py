@@ -165,12 +165,13 @@ def test_png_random_filter_sequences():
 
 
 def test_decode_rejects_unsupported_formats():
-    # progressive JPEG (SOF2): parse-level rejection, not silent corruption
-    sof2 = (b"\xff\xd8"
-            + struct.pack(">HH", 0xFFC2, 13)
-            + struct.pack(">BHHB", 8, 4, 4, 1) + bytes([1, 0x11, 0]))
+    # arithmetic-coded JPEG (SOF10): parse-level rejection, not silent
+    # corruption (progressive SOF2 is supported since round 5)
+    sof10 = (b"\xff\xd8"
+             + struct.pack(">HH", 0xFFCA, 13)
+             + struct.pack(">BHHB", 8, 4, 4, 1) + bytes([1, 0x11, 0]))
     with pytest.raises(NotImplementedError):
-        _decode_image(sof2)
+        _decode_image(sof10)
     # unknown container magic (video etc.)
     with pytest.raises(NotImplementedError):
         _decode_image(b"\x00\x00\x00\x18ftypmp42" + b"0" * 100)
