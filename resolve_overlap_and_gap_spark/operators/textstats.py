@@ -456,27 +456,47 @@ def kn_ngram_stats_duckdb_sql(text_col: str = "text",
     """
 
 
-def bpe_train(docs: DataFrame, n_merges: int = 10,
-              text_col: str = "text") -> DataFrame:
-    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) — the
-    merge-table build of an LLM tokenizer, in the shape industrial Spark
-    trainers use: the corpus collapses once to a (word-type, frequency)
-    table — the only relation the algorithm ever needs — then each of
-    n_merges rounds (1) explodes adjacent symbol pairs weighted by word
-    frequency, (2) aggregates pair counts in one shuffle, (3) collects
-    exactly ONE row (the argmax pair; driver transfer is O(n_merges)
-    total), and (4) rewrites the word table with the merge applied
-    (greedy left-to-right, standard BPE semantics) via an Arrow-batched
-    pandas UDF, localCheckpoint-truncated so the plan never grows.
+def _bpe_merge_word(syms: list, left: str, right: str) -> list:
+    """Greedy left-to-right application of one merge (standard BPE)."""
+    res = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            res.append(left + right)
+            i += 2
+        else:
+            res.append(syms[i])
+            i += 1
+    return res
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 10, text_col: str = "text",
+              driver_vocab_cap: int = 200_000) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016) — the merge-table
+    build of an LLM tokenizer, in the shape industrial Spark trainers
+    use: the corpus collapses ONCE to a (word-type, frequency) table —
+    the only relation the algorithm ever needs, vocabulary-sized by
+    Heaps' law — and the merge loop runs over that table.
+
+    Two paths, identical output:
+
+    * word-type count <= driver_vocab_cap (the common case even for
+      very large corpora): the type table collects to the driver and
+      the loop runs locally — total cluster work is exactly one corpus
+      scan + one aggregation, and the n_merges iterations cost no
+      scheduler round-trips at all.
+    * larger vocabularies: the loop stays distributed — each round is
+      one pair-count shuffle, ONE argmax row to the driver, and an
+      Arrow-batched greedy merge rewrite of the word table
+      (localCheckpoint-truncated so the plan never grows).
 
     Ties break deterministically by (count desc, left asc, right asc) —
     engine-order-independent, unlike the insertion-order tie rule of the
     original reference implementation (documented divergence).
 
-    Output: (rank, left, right, pair_count), one row per learned merge.
-    At 100 TB the word-type table is vocabulary-sized (Heaps' law), so
-    every per-round relation is tiny compared to the corpus — the
-    corpus is read exactly once."""
+    Output: (rank, left, right, pair_count), one row per learned
+    merge."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -484,13 +504,36 @@ def bpe_train(docs: DataFrame, n_merges: int = 10,
 
     spark = docs.sparkSession
     norm = normalize_sql(text_col, SPARK)
-    words = (docs.selectExpr(f"explode(split({norm}, ' ')) as w")
+    wfreq = (docs.selectExpr(f"explode(split({norm}, ' ')) as w")
              .where("w <> ''")
-             .groupBy("w").agg(F.count("*").alias("freq"))
+             .groupBy("w").agg(F.count("*").alias("freq")))
+    merges: list[tuple] = []
+
+    head = wfreq.limit(driver_vocab_cap + 1).collect()
+    if len(head) <= driver_vocab_cap:
+        vocab = {tuple(r["w"]): int(r["freq"]) for r in head}
+        for rank in range(n_merges):
+            counts: dict = {}
+            for syms, f in vocab.items():
+                for pair in zip(syms, syms[1:]):
+                    counts[pair] = counts.get(pair, 0) + f
+            if not counts:
+                break
+            (left, right), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            merges.append((rank, left, right, cnt))
+            new: dict = {}
+            for syms, f in vocab.items():
+                t = tuple(_bpe_merge_word(list(syms), left, right))
+                new[t] = new.get(t, 0) + f
+            vocab = new
+        return spark.createDataFrame(
+            merges, "rank long, left string, right string, pair_count long")
+
+    words = (wfreq
              .selectExpr("filter(split(w, '(?!^)'), x -> x <> '') as syms",
                          "freq")
              .localCheckpoint())
-    merges: list[tuple] = []
     for rank in range(n_merges):
         pairs = words.selectExpr(
             "explode(arrays_zip(slice(syms, 1, size(syms) - 1), "
@@ -505,21 +548,8 @@ def bpe_train(docs: DataFrame, n_merges: int = 10,
 
         @F.pandas_udf(T.ArrayType(T.StringType()))
         def apply_merge(col: pd.Series) -> pd.Series:
-            out = []
-            for syms in col:
-                res = []
-                i = 0
-                n = len(syms)
-                while i < n:
-                    if (i + 1 < n and syms[i] == left
-                            and syms[i + 1] == right):
-                        res.append(left + right)
-                        i += 2
-                    else:
-                        res.append(syms[i])
-                        i += 1
-                out.append(res)
-            return pd.Series(out)
+            return pd.Series(
+                [_bpe_merge_word(list(syms), left, right) for syms in col])
 
         words = (words.withColumn("syms", apply_merge("syms"))
                  .localCheckpoint())

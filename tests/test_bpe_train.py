@@ -47,7 +47,10 @@ def _ref_bpe(word_freqs: dict, n_merges: int):
 
 
 @pytest.mark.parametrize("n_merges", [5, 12])
-def test_bpe_train_matches_reference(spark, n_merges):
+@pytest.mark.parametrize("cap", [200_000, 0])
+def test_bpe_train_matches_reference(spark, n_merges, cap):
+    """cap=200k takes the collect-the-type-table driver path; cap=0
+    forces the distributed per-round loop — identical merge tables."""
     texts = [
         "low low low low low",
         "lower lower newest newest newest",
@@ -57,7 +60,8 @@ def test_bpe_train_matches_reference(spark, n_merges):
     docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                  "doc_id long, text string")
     got = [tuple(r) for r in
-           bpe_train(docs, n_merges=n_merges).orderBy("rank").collect()]
+           bpe_train(docs, n_merges=n_merges, driver_vocab_cap=cap)
+           .orderBy("rank").collect()]
 
     freqs: dict = {}
     for t in texts:
