@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "url_canon",
     "url_latest",
+    "mojibake",
     "pii_scrub",
     "corpus_select",
     # ANN scale paths + multimodal plumbing (rows-only in CORRECTNESS, but

@@ -555,3 +555,74 @@ def bpe_train(docs: DataFrame, n_merges: int = 10, text_col: str = "text",
                  .localCheckpoint())
     return spark.createDataFrame(
         merges, "rank long, left string, right string, pair_count long")
+
+
+# the classic UTF-8-read-as-cp1252 mojibake table: damaged form -> true
+# character.  Pairs are prefix-unambiguous so one replace chain repairs
+# any mix; extend as needed (the operator is table-driven).
+MOJIBAKE_PAIRS = [
+    ("\u00c3\u00a9", "\u00e9"), ("\u00c3\u00a8", "\u00e8"),
+    ("\u00c3\u00a4", "\u00e4"), ("\u00c3\u00b6", "\u00f6"),
+    ("\u00c3\u00bc", "\u00fc"), ("\u00c3\u00b1", "\u00f1"),
+    ("\u00c3\u00a7", "\u00e7"), ("\u00c3\u00a5", "\u00e5"),
+    ("\u00c3\u00b8", "\u00f8"), ("\u00c3\u00a6", "\u00e6"),
+    ("\u00c3\u00ad", "\u00ed"), ("\u00c3\u00b3", "\u00f3"),
+    ("\u00c3\u00ba", "\u00fa"), ("\u00c3\u00a1", "\u00e1"),
+    ("\u00e2\u20ac\u2122", "\u2019"),
+    ("\u00e2\u20ac\u0153", "\u201c"),
+    ("\u00e2\u20ac\u201c", "\u2013"),
+    ("\u00e2\u20ac\u201d", "\u2014"),
+    ("\u00e2\u20ac\u00a6", "\u2026"),
+    ("\u00c2\u00ab", "\u00ab"), ("\u00c2\u00bb", "\u00bb"),
+    ("\u00c2\u00b0", "\u00b0"),
+]
+
+
+def _sqlq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def mojibake_repair_sql(col: str) -> str:
+    """Replace-chain repair of UTF-8-decoded-as-cp1252 damage -- the
+    single most common crawl encoding defect (e-acute -> 'A-tilde
+    copyright-ish pair', curly quotes -> three-char sequences...).
+    Identical SQL text in Spark and DuckDB (plain replace()), so the
+    repair is oracle-checkable; a production pipeline would hang ftfy at
+    the same spot, this is the dependency-free table-driven core."""
+    x = col
+    for bad, good in MOJIBAKE_PAIRS:
+        x = f"replace({x}, '{_sqlq(bad)}', '{_sqlq(good)}')"
+    return x
+
+
+def mojibake_damage_sql(col: str) -> str:
+    """Forward damage transform (true char -> mojibake) -- the fixture
+    builder: applying repair after damage restores the input exactly for
+    every covered character."""
+    x = col
+    for bad, good in MOJIBAKE_PAIRS:
+        x = f"replace({x}, '{_sqlq(good)}', '{_sqlq(bad)}')"
+    return x
+
+
+def mojibake_score_sql(col: str) -> str:
+    """Telltale-sequence count: occurrences of the cp1252-mojibake lead
+    characters.  Zero on clean text, positive on damaged text -- the
+    detection side of the repair stage."""
+    leads = ["\u00c3", "\u00e2\u20ac", "\u00c2"]
+    terms = [occurrences_sql(col, lead) for lead in leads]
+    return "(" + " + ".join(terms) + ")"
+
+
+def mojibake_repair(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, text_fixed, moji_before, moji_after): repair encoding
+    damage and report the detection score on both sides.  Pure JVM
+    codegen (a replace chain), no shuffle at all."""
+    rep = mojibake_repair_sql(text_col)
+    return docs.selectExpr(
+        f"cast({id_col} as bigint) as doc_id",
+        f"{rep} as text_fixed",
+        f"{mojibake_score_sql(text_col)} as moji_before",
+        f"{mojibake_score_sql(f'({rep})')} as moji_after",
+    )

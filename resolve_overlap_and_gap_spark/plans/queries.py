@@ -2586,6 +2586,57 @@ def _messy_url_sql(dialect: str) -> str:
     )
 
 
+def _accent_page_sql() -> str:
+    """Deterministic encoding-damage fixture: every doc gains an accented
+    tail (so repair has real work), and odd docs ship DAMAGED (UTF-8 read
+    as cp1252 via textstats.mojibake_damage_sql) while even docs ship
+    clean -- identical SQL text in both dialects."""
+    tails = ["caf\u00e9 d\u00e9j\u00e0", "se\u00f1or a\u00f1o",
+             "\u201cquote\u2019d\u201d", "\u2014 dash \u2026"]
+    cases = " ".join(
+        f"when doc_id % 4 = {i} then ' {t}'" for i, t in enumerate(tails))
+    clean = f"concat(text, case {cases} end)"
+    dmg = textstats.mojibake_damage_sql(f"({clean})")
+    return (f"(case when doc_id % 2 = 1 then {dmg} else {clean} end)",
+            clean)
+
+
+def q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage detection + repair (textstats.mojibake_repair):
+    the UTF-8-read-as-cp1252 defect -- the most common crawl mojibake --
+    detected by telltale-sequence counts and repaired by the table-driven
+    replace chain, all JVM codegen with no shuffle.  The fixture damages
+    odd docs only; `restored` certifies repair(damage(x)) == x per row,
+    and moji_after == 0 certifies detection finds nothing left."""
+    page, clean = _accent_page_sql()
+    docs = _read(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id as bigint) as doc_id", f"{page} as text",
+        f"{clean} as clean")
+    rep = textstats.mojibake_repair_sql("text")
+    return docs.selectExpr(
+        "doc_id",
+        f"{textstats.mojibake_score_sql('text')} as moji_before",
+        f"{textstats.mojibake_score_sql(f'({rep})')} as moji_after",
+        f"cast(case when ({rep}) = clean then 1 else 0 end as bigint) "
+        "as restored")
+
+
+def o_mojibake() -> str:
+    page, clean = _accent_page_sql()
+    rep = textstats.mojibake_repair_sql("text")
+    return f"""
+        with p as (select cast(doc_id as bigint) as doc_id,
+                          {page} as text, {clean} as clean
+                   from documents)
+        select doc_id,
+               {textstats.mojibake_score_sql("text")} as moji_before,
+               {textstats.mojibake_score_sql(f"({rep})")} as moji_after,
+               cast(case when ({rep}) = clean then 1 else 0 end as bigint)
+                 as restored
+        from p
+    """
+
+
 def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization — the url-level dedup key of a Common-Crawl
     pipeline (input_hint `url` column): lowercase scheme/host, strip www
@@ -3251,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": q_dedup_keep,
         "url_canon": q_url_canon,
         "url_latest": q_url_latest,
+        "mojibake": q_mojibake,
         "url_hosts": q_url_hosts,
         "repetition": q_repetition,
         "pii_scrub": q_pii_scrub,
@@ -3337,6 +3389,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep": o_dedup_keep(),
         "url_canon": o_url_canon(),
         "url_latest": o_url_latest(),
+        "mojibake": o_mojibake(),
         "url_hosts": o_url_hosts(),
         "repetition": o_repetition(),
         "pii_scrub": o_pii_scrub(),
