@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "url_canon",
     "url_latest",
     "mojibake",
+    "chunk_docs",
     "pii_scrub",
     "corpus_select",
     # ANN scale paths + multimodal plumbing (rows-only in CORRECTNESS, but

@@ -626,3 +626,61 @@ def mojibake_repair(docs: DataFrame, text_col: str = "text",
         f"{mojibake_score_sql(text_col)} as moji_before",
         f"{mojibake_score_sql(f'({rep})')} as moji_after",
     )
+
+
+def chunk_docs(docs: DataFrame, chunk: int = 64, stride: int = 48,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Overlapping-window document chunking -- the passage-splitting
+    stage of a RAG / embedding pipeline: token windows of `chunk` tokens
+    every `stride` tokens (chunk > stride overlaps windows so no
+    boundary context is lost), the final window shorter.  Output
+    (doc_id, chunk_idx, start_tok, n_tok, chunk_hash) -- the hash is the
+    join key to an embedding table; chunk text itself never shuffles.
+
+    In-kernel end to end: split + sequence + slice + posexplode, all JVM
+    codegen, no shuffle at all (chunking is embarrassingly row-local).
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from resolve_overlap_and_gap_spark.operators.dedup import normalize_sql
+
+    norm = normalize_sql(text_col, SPARK)
+    return (docs.selectExpr(
+        f"cast({id_col} as bigint) as doc_id",
+        f"split({norm}, ' ') as toks")
+        .selectExpr(
+            "doc_id",
+            f"posexplode(transform(sequence(1, greatest(size(toks), 1), "
+            f"{stride}), s -> struct(s as st, "
+            f"array_join(slice(toks, s, {chunk}), ' ') as txt))) "
+            "as (ci, c)")
+        .selectExpr(
+            "doc_id",
+            "cast(ci as bigint) as chunk_idx",
+            "cast(c.st as bigint) as start_tok",
+            f"cast(size(split(c.txt, ' ')) as bigint) as n_tok",
+            "md5(c.txt) as chunk_hash"))
+
+
+def chunk_docs_duckdb_sql(chunk: int = 64, stride: int = 48,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          table: str = "documents") -> str:
+    """DuckDB twin of chunk_docs (same windows, same hash)."""
+    from resolve_overlap_and_gap_spark.operators.dedup import normalize_sql
+
+    norm = normalize_sql(text_col, "duckdb")
+    return f"""
+        with t as (select cast({id_col} as bigint) as doc_id,
+                          string_split({norm}, ' ') as toks
+                   from {table}),
+        c as (select doc_id,
+                     cast((s - 1) // {stride} as bigint) as chunk_idx,
+                     cast(s as bigint) as start_tok,
+                     array_to_string(toks[s:s + {chunk} - 1], ' ') as txt
+              from t, unnest(generate_series(1, greatest(len(toks), 1),
+                                             {stride})) as u(s))
+        select doc_id, chunk_idx, start_tok,
+               cast(len(string_split(txt, ' ')) as bigint) as n_tok,
+               md5(txt) as chunk_hash
+        from c
+    """

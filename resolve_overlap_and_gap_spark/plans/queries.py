@@ -2586,6 +2586,17 @@ def _messy_url_sql(dialect: str) -> str:
     )
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG passage chunking (textstats.chunk_docs): 64-token windows
+    every 48 tokens per document -- in-kernel split/sequence/slice, no
+    shuffle; hashes key chunks to an embedding table."""
+    return textstats.chunk_docs(_read(spark, sf_dir, "documents"))
+
+
+def o_chunk_docs() -> str:
+    return textstats.chunk_docs_duckdb_sql()
+
+
 def _accent_page_sql() -> str:
     """Deterministic encoding-damage fixture: every doc gains an accented
     tail (so repair has real work), and odd docs ship DAMAGED (UTF-8 read
@@ -3303,6 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "url_latest": q_url_latest,
         "mojibake": q_mojibake,
+        "chunk_docs": q_chunk_docs,
         "url_hosts": q_url_hosts,
         "repetition": q_repetition,
         "pii_scrub": q_pii_scrub,
@@ -3390,6 +3402,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canon": o_url_canon(),
         "url_latest": o_url_latest(),
         "mojibake": o_mojibake(),
+        "chunk_docs": o_chunk_docs(),
         "url_hosts": o_url_hosts(),
         "repetition": o_repetition(),
         "pii_scrub": o_pii_scrub(),
