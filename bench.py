@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "thumbnail_invariants",
     "image_dhash",
     "audio_fingerprint",
+    "image_dedup",
     # relational / semi-structured
     "star_join",
     "json_props",

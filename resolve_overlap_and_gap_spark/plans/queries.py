@@ -2143,6 +2143,41 @@ def q_multimodal_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup capstone: decode the full mixed-codec blend, hash
+    with image_dhash, and collapse exact-hash groups to a canonical
+    keeper (min media_id) with a copy count — the cross-codec "same
+    picture, different encoding" dedup a crawl image pipeline runs.
+    One groupBy on the 8-byte hash pair; images never shuffle."""
+    from resolve_overlap_and_gap_spark.operators.multimodal import (
+        image_dhash,
+        synthesize_media,
+    )
+
+    n = _read(spark, sf_dir, "documents").count()
+    media = synthesize_media(spark, n,
+                             partitions=spark.sparkContext.defaultParallelism,
+                             fmt="mixed", content="blockgrad")
+    return (image_dhash(media)
+            .groupBy("dhash_hi", "dhash_lo")
+            .agg(F.min("media_id").alias("keep_id"),
+                 F.count("*").alias("n_copies"))
+            .selectExpr("cast(dhash_hi as bigint) as dhash_hi",
+                        "cast(dhash_lo as bigint) as dhash_lo",
+                        "cast(keep_id as bigint) as keep_id",
+                        "cast(n_copies as bigint) as n_copies"))
+
+
+def o_image_dedup() -> str:
+    return f"""
+        with h as ({o_image_dhash()})
+        select dhash_hi, dhash_lo,
+               cast(min(media_id) as bigint) as keep_id,
+               cast(count(*) as bigint) as n_copies
+        from h group by dhash_hi, dhash_lo
+    """
+
+
 def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acoustic near-dup fingerprints (multimodal.audio_fingerprint):
     energy-delta bits over 256-sample frames of amplitude-modulated
@@ -3282,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_invariants_420": q_multimodal_invariants_420,
         "multimodal_invariants_prog": q_multimodal_invariants_prog,
         "image_dhash": q_image_dhash,
+        "image_dedup": q_image_dedup,
         "thumbnail_invariants": q_thumbnail_invariants,
         "embed_quantize": q_embed_quantize,
         "audio_invariants": q_audio_invariants,
@@ -3377,6 +3413,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_invariants_420": o_multimodal_invariants_420(),
         "multimodal_invariants_prog": o_multimodal_invariants_prog(),
         "image_dhash": o_image_dhash(),
+        "image_dedup": o_image_dedup(),
         "thumbnail_invariants": o_thumbnail_invariants(),
         "embed_quantize": o_embed_quantize(),
         "audio_invariants": o_audio_invariants(),
