@@ -224,6 +224,12 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
             .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
 
 
+def _seg(marker: int, body: bytes) -> bytes:
+    """One marker segment: marker, 2-byte length (incl. itself), body —
+    shared by the baseline and progressive emitters."""
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
 # ---------------------------------------------------------------- encoder
 
 def encode_jpeg(img: np.ndarray, quality: int = 90,
@@ -368,36 +374,33 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     bw_.flush()
     scan += bw_.buf
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
     ncomp = len(planes)
     out = [b"\xff\xd8"]
-    out.append(seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
+    out.append(_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
     dqt = b"\x00" + bytes(int(v) for v in qts[0][ZIGZAG])
     if not gray:
         dqt += b"\x01" + bytes(int(v) for v in qts[1][ZIGZAG])
-    out.append(seg(0xFFDB, dqt))
+    out.append(_seg(0xFFDB, dqt))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         hi, vi = samp[ci]
         sof += bytes([ci + 1, (hi << 4) | vi, qt_of[ci]])
-    out.append(seg(0xFFC0, sof))
+    out.append(_seg(0xFFC0, sof))
     dht = b""
     for tc, th, (counts, syms) in (
         [(0, 0, DC_LUM), (1, 0, AC_LUM)] if gray
         else [(0, 0, DC_LUM), (1, 0, AC_LUM), (0, 1, DC_CHROM), (1, 1, AC_CHROM)]
     ):
         dht += bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms)
-    out.append(seg(0xFFC4, dht))
+    out.append(_seg(0xFFC4, dht))
     if ri:
-        out.append(seg(0xFFDD, struct.pack(">H", ri)))
+        out.append(_seg(0xFFDD, struct.pack(">H", ri)))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         t = t_of[ci]
         sos += bytes([ci + 1, (t << 4) | t])
     sos += b"\x00\x3f\x00"
-    out.append(seg(0xFFDA, sos))
+    out.append(_seg(0xFFDA, sos))
     out.append(bytes(scan))
     out.append(b"\xff\xd9")
     return b"".join(out)
@@ -637,29 +640,26 @@ def _emit_progressive(h, w, gray, samp, qt_of, t_of, qts, coefs, bws,
         out += bw_.buf
         return bytes(out)
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
     out = [b"\xff\xd8"]
-    out.append(seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
+    out.append(_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
     dqt = b"\x00" + bytes(int(v) for v in qts[0][ZIGZAG])
     if not gray:
         dqt += b"\x01" + bytes(int(v) for v in qts[1][ZIGZAG])
-    out.append(seg(0xFFDB, dqt))
+    out.append(_seg(0xFFDB, dqt))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         hi, vi = samp[ci]
         sof += bytes([ci + 1, (hi << 4) | vi, qt_of[ci]])
-    out.append(seg(0xFFC2, sof))
+    out.append(_seg(0xFFC2, sof))
     dht = b""
     tables = ([(0, 0, DC_LUM), (1, 0, ac_raw[0])] if gray else
               [(0, 0, DC_LUM), (1, 0, ac_raw[0]),
                (0, 1, DC_CHROM), (1, 1, ac_raw[1])])
     for tc, th, (counts, syms) in tables:
         dht += bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms)
-    out.append(seg(0xFFC4, dht))
+    out.append(_seg(0xFFC4, dht))
     if ri:
-        out.append(seg(0xFFDD, struct.pack(">H", ri)))
+        out.append(_seg(0xFFDD, struct.pack(">H", ri)))
     for kind, ci, ss, se, ah, al in script:
         if kind in ("dc0", "dcr"):
             sos = bytes([ncomp])
@@ -673,7 +673,7 @@ def _emit_progressive(h, w, gray, samp, qt_of, t_of, qts, coefs, bws,
             data = (scan_ac_first if kind == "ac0"
                     else scan_ac_refine)(ci, ss, se, al)
         sos += bytes([ss, se, (ah << 4) | al])
-        out.append(seg(0xFFDA, sos))
+        out.append(_seg(0xFFDA, sos))
         out.append(data)
     out.append(b"\xff\xd9")
     return b"".join(out)

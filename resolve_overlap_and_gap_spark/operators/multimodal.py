@@ -7,14 +7,18 @@ contract, partition sizing — is real and tested, and so are the codecs:
 * PNG via a stdlib-only decoder (zlib inflate + scanline unfiltering with
   the antidiagonal-wavefront Average/Paeth path; 8-bit gray/GA/RGB/RGBA,
   non-interlaced),
-* baseline JPEG via operators/jpeg.py (T.81 sequential DCT, Annex K
-  tables, 4:4:4 — the dominant crawl image format decodes for real),
-* WAV/PCM16 audio via the RIFF parser below.
+* JPEG via operators/jpeg.py — baseline (T.81 sequential DCT, Annex K
+  tables, 4:4:4/4:2:2/4:2:0, restart intervals) AND progressive (SOF2,
+  Annex G successive approximation),
+* WAV/PCM16 audio via the RIFF parser below,
+* MJPEG video in both AVI (RIFF walk) and ISO-BMFF/MP4 (stsz/stsc/stco
+  sample-table arithmetic) containers, with O(1) frame seek.
 
-Exotic variants (progressive JPEG, 16-bit/palette/interlaced PNG,
-non-PCM WAV) and video raise NotImplementedError at the decode boundary,
-exactly where a PIL/ffmpeg call would slot in; the deterministic FAKEIMG
-format remains for plumbing tests.
+Remaining exotic variants (arithmetic/12-bit JPEG, 16-bit/palette/
+interlaced PNG, non-PCM WAV, H.264/HEVC video) raise
+NotImplementedError at the decode boundary, exactly where a PIL/ffmpeg
+call would slot in; the deterministic FAKEIMG format remains for
+plumbing tests.
 """
 
 from __future__ import annotations
@@ -731,23 +735,14 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
     by `factor` with exact box-mean averaging, and the thumbnail ships
     back as a raw FAKEIMG payload (header + bytes) — the resize stage of
     a multimodal training pipeline with the 100 TB batch shape."""
-    from resolve_overlap_and_gap_spark.operators.jpeg import decode_jpeg_batch
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             bufs = [bytes(b) for b in pdf["payload"]]
-            jidx = [i for i, b in enumerate(bufs) if b[:2] == b"\xff\xd8"]
-            imgs: dict[int, np.ndarray] = {}
-            if jidx:
-                for i, im in zip(jidx,
-                                 decode_jpeg_batch([bufs[i] for i in jidx])):
-                    imgs[i] = im
+            imgs = _decode_image_batch(bufs)
             rows = []
             for i, mid in enumerate(pdf["media_id"]):
-                img = imgs.get(i)
-                if img is None:
-                    img = _decode_image(bufs[i])
-                th = box_downscale(img, factor)
+                th = box_downscale(imgs[i], factor)
                 h2, w2, c2 = th.shape
                 hdr = struct.pack(_HDR_FMT, _MAGIC, w2, h2, c2)
                 rows.append((int(mid), w2, h2, c2, float(th.mean()),
@@ -764,9 +759,10 @@ def synthesize_media(spark: SparkSession, n: int, partitions: int = 8,
     """Deterministic media table with seeded pixels, generated JVM-side
     except the payload bytes (Arrow-batched).  fmt: 'fake' (raw header +
     bytes), 'png' / 'jpeg' (real codec streams), or 'mixed' (the default
-    crawl-like blend: media_id % 3 == 0 fake, == 1 PNG, == 2 baseline
-    JPEG — every pipeline over this table pays real decode costs for
-    both major image formats).
+    crawl-like blend: media_id % 3 == 0 fake, == 1 PNG, == 2 JPEG —
+    baseline 4:4:4 or 4:2:0 or PROGRESSIVE per the id rules below — so
+    every pipeline over this table pays real decode costs for both major
+    image formats and every JPEG layout).
 
     content: 'noise' (seeded RNG pixels), 'gradient' — pixel value
     x + y + (media_id % 96), identical channels; never wraps mod 256 at
@@ -871,6 +867,22 @@ def _decode_image(buf: bytes) -> np.ndarray:
     )
 
 
+def _decode_image_batch(bufs: list) -> list:
+    """Decode a whole Arrow batch of mixed-codec payloads, index-aligned:
+    every JPEG in the batch decodes as ONE vectorized cursor fleet
+    (decode_jpeg_batch pools all restart segments of all images); PNG/
+    FAKEIMG decode per image via _decode_image.  The single dispatch
+    point for every mapInPandas media operator — change the sniff or
+    batching rule here, not per operator."""
+    from resolve_overlap_and_gap_spark.operators.jpeg import decode_jpeg_batch
+
+    jidx = [i for i, b in enumerate(bufs) if b[:2] == b"\xff\xd8"]
+    imgs: dict[int, np.ndarray] = {}
+    if jidx:
+        for i, im in zip(jidx, decode_jpeg_batch([bufs[i] for i in jidx])):
+            imgs[i] = im
+    return [imgs[i] if i in imgs else _decode_image(b)
+            for i, b in enumerate(bufs)]
 
 
 DHASH_SCHEMA = T.StructType([
@@ -909,8 +921,6 @@ def image_dhash(media: DataFrame, grid_w: int = 9,
     downstream dedup groupBy/join shuffles on the 8-byte hash, not the
     image)."""
 
-    from resolve_overlap_and_gap_spark.operators.jpeg import decode_jpeg_batch
-
     nbits = grid_h * (grid_w - 1)
     if nbits > 64:
         raise ValueError("dhash grid exceeds 64 bits")
@@ -918,17 +928,10 @@ def image_dhash(media: DataFrame, grid_w: int = 9,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             bufs = [bytes(b) for b in pdf["payload"]]
-            jidx = [i for i, b in enumerate(bufs) if b[:2] == b"\xff\xd8"]
-            imgs: dict[int, np.ndarray] = {}
-            if jidx:
-                for i, im in zip(jidx,
-                                 decode_jpeg_batch([bufs[i] for i in jidx])):
-                    imgs[i] = im
+            imgs = _decode_image_batch(bufs)
             rows = []
             for i, mid in enumerate(pdf["media_id"]):
-                img = imgs.get(i)
-                if img is None:
-                    img = _decode_image(bufs[i])
+                img = imgs[i]
                 h, w, _c = img.shape
                 a = img.astype(np.int64).sum(axis=2)
                 # np.array_split boundaries: first r groups get q+1
@@ -960,24 +963,13 @@ def extract_features(media: DataFrame, grid: int = 4) -> DataFrame:
     batches in, iterator out — the scale-path shape (no per-row Python at
     the Spark level; numpy vectorization inside the batch)."""
 
-    from resolve_overlap_and_gap_spark.operators.jpeg import decode_jpeg_batch
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             bufs = [bytes(b) for b in pdf["payload"]]
-            # JPEGs decode as ONE vectorized cursor fleet per Arrow batch
-            # (decode_jpeg_batch pools every restart segment of every
-            # image); other formats decode per-image
-            jidx = [i for i, b in enumerate(bufs) if b[:2] == b"\xff\xd8"]
-            imgs: dict[int, np.ndarray] = {}
-            if jidx:
-                for i, im in zip(jidx, decode_jpeg_batch([bufs[i] for i in jidx])):
-                    imgs[i] = im
+            imgs = _decode_image_batch(bufs)
             rows = []
             for i, mid in enumerate(pdf["media_id"]):
-                img = imgs.get(i)
-                if img is None:
-                    img = _decode_image(bufs[i])
+                img = imgs[i]
                 h, w, c = img.shape
                 # grid-pooled mean feature (the resize/pool stand-in)
                 ys = np.linspace(0, h, grid + 1).astype(int)

@@ -504,9 +504,13 @@ def bpe_train(docs: DataFrame, n_merges: int = 10, text_col: str = "text",
 
     spark = docs.sparkSession
     norm = normalize_sql(text_col, SPARK)
+    # checkpoint so the path probe and whichever path runs share ONE
+    # corpus scan (the probe's collected head otherwise forces a rescan
+    # on the distributed path)
     wfreq = (docs.selectExpr(f"explode(split({norm}, ' ')) as w")
              .where("w <> ''")
-             .groupBy("w").agg(F.count("*").alias("freq")))
+             .groupBy("w").agg(F.count("*").alias("freq"))
+             .localCheckpoint())
     merges: list[tuple] = []
 
     head = wfreq.limit(driver_vocab_cap + 1).collect()
@@ -530,9 +534,17 @@ def bpe_train(docs: DataFrame, n_merges: int = 10, text_col: str = "text",
         return spark.createDataFrame(
             merges, "rank long, left string, right string, pair_count long")
 
+    # symbol split in Python (Arrow-batched), NOT Spark SQL split():
+    # Java regex split positions fall between UTF-16 code units, so
+    # split(w, '(?!^)') halves surrogate pairs (emoji -> two lone
+    # surrogates) and would diverge from the driver path's code-point
+    # symbols; Python list(w) iterates code points on both paths.
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def to_syms(col: pd.Series) -> pd.Series:
+        return pd.Series([list(w) for w in col])
+
     words = (wfreq
-             .selectExpr("filter(split(w, '(?!^)'), x -> x <> '') as syms",
-                         "freq")
+             .select(to_syms("w").alias("syms"), "freq")
              .localCheckpoint())
     for rank in range(n_merges):
         pairs = words.selectExpr(
@@ -633,9 +645,13 @@ def chunk_docs(docs: DataFrame, chunk: int = 64, stride: int = 48,
     """Overlapping-window document chunking -- the passage-splitting
     stage of a RAG / embedding pipeline: token windows of `chunk` tokens
     every `stride` tokens (chunk > stride overlaps windows so no
-    boundary context is lost), the final window shorter.  Output
-    (doc_id, chunk_idx, start_tok, n_tok, chunk_hash) -- the hash is the
-    join key to an embedding table; chunk text itself never shuffles.
+    boundary context is lost), the final window shorter.  Window starts
+    stop as soon as the PREVIOUS window reached the document end (start
+    <= n + stride - chunk), so no emitted chunk is a strict suffix of
+    its predecessor -- the redundant-tail trap of naive sliding-window
+    chunkers.  Output (doc_id, chunk_idx, start_tok, n_tok, chunk_hash)
+    -- the hash is the join key to an embedding table; chunk text itself
+    never shuffles.
 
     In-kernel end to end: split + sequence + slice + posexplode, all JVM
     codegen, no shuffle at all (chunking is embarrassingly row-local).
@@ -650,7 +666,8 @@ def chunk_docs(docs: DataFrame, chunk: int = 64, stride: int = 48,
         f"split({norm}, ' ') as toks")
         .selectExpr(
             "doc_id",
-            f"posexplode(transform(sequence(1, greatest(size(toks), 1), "
+            f"posexplode(transform(sequence(1, greatest(least("
+            f"size(toks) + {stride} - {chunk}, size(toks)), 1), "
             f"{stride}), s -> struct(s as st, "
             f"array_join(slice(toks, s, {chunk}), ' ') as txt))) "
             "as (ci, c)")
@@ -677,7 +694,8 @@ def chunk_docs_duckdb_sql(chunk: int = 64, stride: int = 48,
                      cast((s - 1) // {stride} as bigint) as chunk_idx,
                      cast(s as bigint) as start_tok,
                      array_to_string(toks[s:s + {chunk} - 1], ' ') as txt
-              from t, unnest(generate_series(1, greatest(len(toks), 1),
+              from t, unnest(generate_series(1, greatest(least(
+                       len(toks) + {stride} - {chunk}, len(toks)), 1),
                                              {stride})) as u(s))
         select doc_id, chunk_idx, start_tok,
                cast(len(string_split(txt, ' ')) as bigint) as n_tok,

@@ -2148,17 +2148,10 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with image_dhash, and collapse exact-hash groups to a canonical
     keeper (min media_id) with a copy count — the cross-codec "same
     picture, different encoding" dedup a crawl image pipeline runs.
-    One groupBy on the 8-byte hash pair; images never shuffle."""
-    from resolve_overlap_and_gap_spark.operators.multimodal import (
-        image_dhash,
-        synthesize_media,
-    )
-
-    n = _read(spark, sf_dir, "documents").count()
-    media = synthesize_media(spark, n,
-                             partitions=spark.sparkContext.defaultParallelism,
-                             fmt="mixed", content="blockgrad")
-    return (image_dhash(media)
+    One groupBy on the 8-byte hash pair; images never shuffle.  Reuses
+    q_image_dhash verbatim so the fixture can never drift from the
+    closed-form oracle this query's twin composes."""
+    return (q_image_dhash(spark, sf_dir)
             .groupBy("dhash_hi", "dhash_lo")
             .agg(F.min("media_id").alias("keep_id"),
                  F.count("*").alias("n_copies"))
@@ -2632,11 +2625,12 @@ def o_chunk_docs() -> str:
     return textstats.chunk_docs_duckdb_sql()
 
 
-def _accent_page_sql() -> str:
-    """Deterministic encoding-damage fixture: every doc gains an accented
-    tail (so repair has real work), and odd docs ship DAMAGED (UTF-8 read
-    as cp1252 via textstats.mojibake_damage_sql) while even docs ship
-    clean -- identical SQL text in both dialects."""
+def _accent_page_sql() -> tuple:
+    """Deterministic encoding-damage fixture -> (page_expr, clean_expr)
+    SQL pair: every doc gains an accented tail (so repair has real
+    work), and odd docs ship DAMAGED (UTF-8 read as cp1252 via
+    textstats.mojibake_damage_sql) while even docs ship clean --
+    identical SQL text in both dialects."""
     tails = ["caf\u00e9 d\u00e9j\u00e0", "se\u00f1or a\u00f1o",
              "\u201cquote\u2019d\u201d", "\u2014 dash \u2026"]
     cases = " ".join(

@@ -84,3 +84,24 @@ def test_bpe_train_deterministic_ties(spark):
     # 'ab' and 'cd' both appear twice: 'a'+'b' wins rank 0 lexicographically
     assert got[0][1:] == ("a", "b", 2)
     assert got[1][1:] == ("c", "d", 2)
+
+
+def test_bpe_train_paths_agree_on_non_bmp(spark):
+    """Words with non-BMP characters (emoji) must split into CODE POINTS
+    on both paths — Spark SQL split() would halve surrogate pairs, so the
+    distributed path does its symbol split in Python (Arrow-batched)."""
+    word = "a\N{GRINNING FACE}b"
+    docs = spark.createDataFrame(
+        [(0, f"{word} {word} {word} xy xy")], "doc_id long, text string")
+    local = [tuple(r) for r in
+             bpe_train(docs, n_merges=3).orderBy("rank").collect()]
+    dist = [tuple(r) for r in
+            bpe_train(docs, n_merges=3, driver_vocab_cap=0)
+            .orderBy("rank").collect()]
+    assert local == dist
+    # the emoji stays one symbol: the first merge joins 'a' + the emoji
+    # (or the emoji + 'b'), never a lone surrogate half
+    for _rank, left, right, _cnt in local:
+        for sym in (left, right):
+            for ch in sym:
+                assert not 0xD800 <= ord(ch) <= 0xDFFF
