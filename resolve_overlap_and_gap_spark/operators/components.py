@@ -42,24 +42,40 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     edge (u,v) induces rep(u)~rep(v), and a component's global min node
     is always its own rep, so lifted labels equal the uncontracted fixed
     point."""
-    e = edges.select(F.col(src).cast("long").alias("u"),
-                     F.col(dst).cast("long").alias("v"))
-    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # checkpoint the EDGE table, not the symmetrized union: the union's two
+    # branches would each evaluate the upstream pair pipeline (band joins /
+    # cosine kernels) once — 2x the heavy work — and the checkpoint would
+    # hold 2x the rows; symmetrizing from the checkpointed edges is a
+    # re-read of materialized partitions.  REBALANCE first: the skinny
+    # (u, v) rows otherwise keep the upstream operator's partition count
+    # (e.g. 64 kernel partitions for a few MB of edges), and every
+    # downstream union/join stage here pays that task count again — the
+    # AQE rebalance sizes the checkpoint to the data, locally ~1-2
+    # partitions, at scale bytes/advisory partitions
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .hint("rebalance").localCheckpoint())
     # NO distinct here: duplicate edges are harmless to the min-aggregation
     # and the contracted-graph distinct below runs on the tiny edge set —
     # skipping it saves a full shuffle of the heavy pair table
-    sym = sym.localCheckpoint()
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     rep = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
         F.col("u").alias("id"), F.least(F.col("u"), F.col("mn")).alias("rep")
     ).localCheckpoint()
+    # contract over the UN-symmetrized edges (half the join rows — the
+    # reversed copies would only produce the mirrored contracted edges the
+    # canonical distinct + final symmetrization regenerate anyway), dedup
+    # in canonical (min, max) orientation so the distinct shuffles half
+    # the rows, then symmetrize the tiny result
     ce = (
-        sym.join(rep.select(F.col("id").alias("u"), F.col("rep").alias("ru")), "u")
+        e.join(rep.select(F.col("id").alias("u"), F.col("rep").alias("ru")), "u")
         .join(rep.select(F.col("id").alias("v"), F.col("rep").alias("rv")), "v")
         .where(F.col("ru") != F.col("rv"))
-        .select(F.col("ru").alias("u"), F.col("rv").alias("v"))
+        .select(F.least("ru", "rv").alias("u"), F.greatest("ru", "rv").alias("v"))
+        .distinct()
     )
     sym = ce.unionByName(ce.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.distinct().localCheckpoint()
+    sym = sym.localCheckpoint()
     labels = sym.select(F.col("u").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )

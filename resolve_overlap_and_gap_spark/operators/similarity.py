@@ -25,21 +25,107 @@ def _norm(a: str) -> F.Column:
     return F.sqrt(F.expr(f"aggregate(transform({a}, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v)"))
 
 
+def _fold_gram(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(|A|, |B|) dot-product matrix accumulated dimension by dimension —
+    the SAME left-fold order (and therefore bit-identical IEEE doubles) as
+    the Catalyst expression ``aggregate(zip_with(a, b, (x, y) -> x * y),
+    0.0D, (acc, v) -> acc + v)`` that the JVM path evaluates per pair.
+    np.dot/BLAS would use pairwise/FMA summation and drift in the last ulp,
+    which floor(sim * 1e6) oracles can observe."""
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    for d in range(A.shape[1]):
+        acc += A[:, d, None] * B[None, :, d]
+    return acc
+
+
+def _fold_sqnorm(A: np.ndarray) -> np.ndarray:
+    """Per-row left-fold of x*x (bit-identical to the _norm expression's
+    aggregate before its sqrt)."""
+    acc = np.zeros(A.shape[0])
+    for d in range(A.shape[1]):
+        acc += A[:, d] * A[:, d]
+    return acc
+
+
 def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     """emb: (pid, vec array<double>); queries: (qid, qvec array<double>).
     Returns (qid, pid, rank, sim). Ties by pid; self-match excluded.
-    The emb side is repartitioned first (small parquet = one input split;
-    crossJoin would otherwise score the whole product in a single task)."""
+
+    The pair scoring runs as one numpy fold per Arrow batch against the
+    collected query matrix (brute baseline: the query side is small and
+    was already broadcast in the join formulation) instead of a
+    crossJoin evaluating interpreted Catalyst lambda folds per pair —
+    sims are bit-identical (_fold_gram), the final top-k window is
+    unchanged."""
     sc = emb.sparkSession.sparkContext
-    emb = emb.repartition(sc.defaultParallelism * 2)
-    j = emb.crossJoin(F.broadcast(queries)).where(F.col("pid") != F.col("qid"))
-    scored = j.withColumn("sim", _dot("vec", "qvec") / (_norm("vec") * _norm("qvec")))
+    q_rows = sorted(queries.select("qid", "qvec").collect(), key=lambda r: r.qid)
+    qids = np.array([r.qid for r in q_rows], dtype=np.int64)
+    Q = np.array([r.qvec for r in q_rows], dtype=np.float64)
+    q_b = sc.broadcast((qids, Q))
+    emb = emb.select("pid", "vec").repartition(sc.defaultParallelism * 2)
+
+    def score(batches):
+        qi, qm = q_b.value
+        qn = np.sqrt(_fold_sqnorm(qm))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pids = pdf["pid"].to_numpy(dtype=np.int64)
+            A = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            sims = _fold_gram(A, qm) / (np.sqrt(_fold_sqnorm(A))[:, None] * qn[None, :])
+            keep = pids[:, None] != qi[None, :]
+            ii, jj = np.nonzero(keep)
+            yield pd.DataFrame({
+                "qid": qi[jj], "pid": pids[ii], "sim": sims[ii, jj]})
+
+    scored = emb.mapInPandas(score, "qid long, pid long, sim double")
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("pid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("qid", "pid", "rank", "sim")
     )
+
+
+def brute_cosine_pairs_x1e6(emb: DataFrame, threshold: float,
+                            chunk_cap: int = 4_000_000) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold, sim floored x1e6 —
+    the brute near-dup baseline.  One numpy fold per Arrow batch against
+    the collected embedding matrix (same O(n) driver/executor transfer the
+    previous crossJoin(broadcast) formulation paid, ~n*d*8 bytes) instead
+    of materializing n^2/2 join rows through interpreted Catalyst lambda
+    folds.  Sims are bit-identical to the expression form (_fold_gram
+    docstring); output: (id_a, id_b, sim_x1e6)."""
+    sc = emb.sparkSession.sparkContext
+    rows = sorted(emb.select("pid", "vec").collect(), key=lambda r: r.pid)
+    ids = np.array([r.pid for r in rows], dtype=np.int64)
+    B = np.array([r.vec for r in rows], dtype=np.float64)
+    b_b = sc.broadcast((ids, B))
+    emb = emb.select("pid", "vec").repartition(sc.defaultParallelism * 2)
+
+    def score(batches):
+        bi, bm = b_b.value
+        bn = np.sqrt(_fold_sqnorm(bm))
+        # sub-chunk so the (m, n) fold matrix stays bounded regardless of
+        # Arrow batch size (chunk_cap doubles ~ 32 MB at the default)
+        step = max(1, chunk_cap // max(len(bi), 1))
+        for pdf in batches:
+            for lo in range(0, len(pdf), step):
+                sub = pdf.iloc[lo:lo + step]
+                if not len(sub):
+                    continue
+                pids = sub["pid"].to_numpy(dtype=np.int64)
+                A = np.stack(sub["vec"].to_numpy()).astype(np.float64)
+                sims = _fold_gram(A, bm) / (
+                    np.sqrt(_fold_sqnorm(A))[:, None] * bn[None, :])
+                keep = (pids[:, None] < bi[None, :]) & (sims >= threshold)
+                ii, jj = np.nonzero(keep)
+                yield pd.DataFrame({
+                    "id_a": pids[ii], "id_b": bi[jj],
+                    "sim_x1e6": np.floor(sims[ii, jj] * 1000000.0).astype(np.int64),
+                })
+
+    return emb.mapInPandas(score, "id_a long, id_b long, sim_x1e6 long")
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -229,34 +315,105 @@ def ivf_ann_topk(emb: DataFrame, queries: DataFrame, k: int, dim: int,
         return pd.Series(list(order.astype(np.int32)))
 
     q = queries.withColumn("centroid_id", F.explode(probes(F.col("qvec"))))
-    j = assigned.join(q, "centroid_id").where(F.col("pid") != F.col("qid"))
-    scored = j.withColumn("sim", _dot("vec", "qvec") / (_norm("vec") * _norm("qvec")))
+    # Per-LIST numpy kernel (cogroup on centroid_id): score the list's
+    # vectors against the queries probing it with the bit-identical fold
+    # and keep each query's per-list exact top-k — a candidate outside a
+    # list's top-k for a query can never enter its global top-k, so the
+    # final window over <= nprobe*k candidate rows per query returns
+    # exactly what the former join-every-pair + global window did, with
+    # each vector shipped once per list instead of once per (query, pair)
+    # row (guide §2.3/§4.2).
+    def kernel(key, vecs: pd.DataFrame, qs: pd.DataFrame) -> pd.DataFrame:
+        if not len(vecs) or not len(qs):
+            return pd.DataFrame(columns=["qid", "pid", "sim"])
+        pids = vecs["pid"].to_numpy(dtype=np.int64)
+        order = np.argsort(pids, kind="stable")
+        pids = pids[order]
+        M = np.stack(vecs["vec"].to_numpy()[order]).astype(np.float64)
+        qids = qs["qid"].to_numpy(dtype=np.int64)
+        Q = np.stack(qs["qvec"].to_numpy()).astype(np.float64)
+        sims = _fold_gram(M, Q) / (
+            np.sqrt(_fold_sqnorm(M))[:, None] * np.sqrt(_fold_sqnorm(Q))[None, :])
+        top = np.argsort(-sims, axis=0, kind="stable")[: k + 1, :]
+        qid_out, pid_out, sim_out = [], [], []
+        for j in range(len(qids)):
+            cand = top[:, j]
+            cand = cand[pids[cand] != qids[j]][:k]
+            if not len(cand):
+                continue
+            qid_out.append(np.full(len(cand), qids[j]))
+            pid_out.append(pids[cand])
+            sim_out.append(sims[cand, j])
+        if not qid_out:
+            return pd.DataFrame(columns=["qid", "pid", "sim"])
+        return pd.DataFrame({"qid": np.concatenate(qid_out),
+                             "pid": np.concatenate(pid_out),
+                             "sim": np.concatenate(sim_out)})
+
+    scored = (assigned.select("centroid_id", "pid", "vec").groupBy("centroid_id")
+              .cogroup(q.select("centroid_id", "qid", "qvec").groupBy("centroid_id"))
+              .applyInPandas(kernel, "qid long, pid long, sim double"))
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("pid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("qid", "pid", "rank", "sim")
     )
+
+
+def _bucket_topk_rows(ids: np.ndarray, M: np.ndarray, k: int):
+    """Within-bucket exact top-k per member: sims via the bit-identical
+    fold (_fold_gram), ordering (sim desc, pid asc) realized as a STABLE
+    argsort over rows pre-sorted by pid — exactly row_number() semantics.
+    Yields (qid, pid, rank, sim) numpy columns."""
+    order = np.argsort(ids, kind="stable")
+    ids, M = ids[order], M[order]
+    n = np.sqrt(_fold_sqnorm(M))
+    sims = _fold_gram(M, M) / (n[:, None] * n[None, :])
+    qid_out, pid_out, rank_out, sim_out = [], [], [], []
+    # stable sort on -sim keeps the pid-ascending tie order
+    top = np.argsort(-sims, axis=0, kind="stable")[: k + 1, :]
+    for j in range(len(ids)):
+        cand = top[:, j]
+        cand = cand[cand != j][:k]
+        if not len(cand):
+            continue
+        qid_out.append(np.full(len(cand), ids[j]))
+        pid_out.append(ids[cand])
+        rank_out.append(np.arange(1, len(cand) + 1, dtype=np.int32))
+        sim_out.append(sims[cand, j])
+    if not qid_out:
+        return None
+    return (np.concatenate(qid_out), np.concatenate(pid_out),
+            np.concatenate(rank_out), np.concatenate(sim_out))
 
 
 def lsh_ann_topk(emb: DataFrame, k: int, dim: int, n_planes: int | None = None,
                  seed: int = 42) -> DataFrame:
     """ANN all-pairs: candidates share an LSH bucket; exact cosine re-rank in
-    the bucket. One equi-join on bucket (shuffle); skewed buckets handled by
-    AQE skew-join.  n_planes defaults to auto_planes(corpus size) so the
-    per-bucket quadratic stays bounded as the corpus grows.  The BUCKETED
-    frame is checkpointed (not just the input): the self-join would
-    otherwise run the projection matmul once per branch."""
-    b = with_lsh_bucket(emb, dim, n_planes, seed).localCheckpoint()
-    a = b.select(F.col("pid").alias("qid"), F.col("vec").alias("qvec"), "bucket")
-    j = b.join(a, "bucket").where(F.col("pid") != F.col("qid"))
-    scored = j.withColumn("sim", _dot("vec", "qvec") / (_norm("vec") * _norm("qvec")))
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("pid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("qid", "pid", "rank", "sim")
-    )
+    the bucket. ONE groupBy(bucket) shuffle of (pid, vec) feeds a numpy
+    kernel that computes the within-bucket sim matrix and each member's
+    top-k in one shot — the former bucket self-join shipped every vector
+    once per candidate PAIR and scored it with interpreted Catalyst lambda
+    folds; this ships each vector once per bucket (guide §2.3/§4.2).  A
+    vector belongs to exactly one bucket, so per-bucket top-k IS the global
+    top-k; sims are bit-identical (_fold_gram) and the (sim desc, pid asc)
+    order matches the former row_number window.  n_planes defaults to
+    auto_planes(corpus size) so the per-bucket quadratic stays bounded as
+    the corpus grows."""
+    b = with_lsh_bucket(emb, dim, n_planes, seed)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["pid"].to_numpy(dtype=np.int64)
+        M = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        out = _bucket_topk_rows(ids, M, k)
+        if out is None:
+            return pd.DataFrame(columns=["qid", "pid", "rank", "sim"])
+        qid, pid, rank, sim = out
+        return pd.DataFrame({"qid": qid, "pid": pid, "rank": rank, "sim": sim})
+
+    return (b.select("bucket", "pid", "vec").groupBy("bucket")
+            .applyInPandas(kernel, "qid long, pid long, rank int, sim double"))
 
 
 def quantize_embeddings(emb: DataFrame, vec_col: str = "vec",

@@ -256,24 +256,16 @@ COSDUP_T = 0.2  # synthetic embeddings are near-orthogonal; low threshold
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (training-data dedup family):
     all pairs (a<b) with cosine >= threshold, scores floored to x1e6 ints
-    for engine-portable output."""
+    for engine-portable output.  The pair scoring is one numpy fold per
+    Arrow batch against the collected matrix (similarity.
+    brute_cosine_pairs_x1e6) — bit-identical sims to the former
+    crossJoin + Catalyst-lambda formulation, without materializing n^2/2
+    join rows (guide §4.2; equality pinned by the unchanged oracle and
+    tests/test_similarity_fold.py)."""
     emb = _read(spark, sf_dir, "embeddings").selectExpr(
         "vec_id as pid", "transform(embedding, x -> cast(x as double)) as vec"
     )
-    emb = emb.repartition(spark.sparkContext.defaultParallelism * 2)
-    a = emb.selectExpr("pid as id_a", "vec as va")
-    b = emb.selectExpr("pid as id_b", "vec as vb")
-    j = a.crossJoin(F.broadcast(b)).where(F.col("id_a") < F.col("id_b"))
-    sim = F.expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
-        " / (sqrt(aggregate(transform(va, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))"
-        " * sqrt(aggregate(transform(vb, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v)))"
-    )
-    return (
-        j.withColumn("sim", sim)
-        .where(F.col("sim") >= COSDUP_T)
-        .selectExpr("id_a", "id_b", "cast(floor(sim * 1000000.0) as bigint) as sim_x1e6")
-    )
+    return similarity.brute_cosine_pairs_x1e6(emb, COSDUP_T)
 
 
 def o_cosine_neardup() -> str:
