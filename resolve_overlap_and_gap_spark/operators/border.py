@@ -493,9 +493,11 @@ def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
 
         # n_salts='auto': one count agg decides whether any owner is hot
         # enough to need the two-level salted union (a single giant owner
-        # must never serialize the heal's final dissolve)
+        # must never serialize the heal's final dissolve);
+        # auto_checkpoint=False — pieces is already materialized above
         return dissolve(pieces.select("owner", "geom"), "owner", g,
-                        n_salts="auto").withColumnRenamed("key", "owner")
+                        n_salts="auto",
+                        auto_checkpoint=False).withColumnRenamed("key", "owner")
 
     # 3. slivers join candidate pieces sharing a covering cell with the
     #    sliver bbox (J1); adjacency per sliver via overlay; choose
@@ -585,5 +587,9 @@ def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
     combined = pieces.select("owner", "geom").unionByName(
         assigned.select("owner", "geom").localCheckpoint()
     )
-    return dissolve(combined, "owner", g, n_salts="auto").withColumnRenamed(
-        "key", "owner")
+    # auto_checkpoint=False: both union branches are materialized already
+    # (pieces by the caller/checkpoint above, assigned just now) — the
+    # auto-salt sizing count re-reads cached partitions instead of
+    # re-materializing ~150 MB of geometry
+    return dissolve(combined, "owner", g, n_salts="auto",
+                    auto_checkpoint=False).withColumnRenamed("key", "owner")

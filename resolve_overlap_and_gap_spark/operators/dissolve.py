@@ -110,7 +110,8 @@ AUTO_SALT_MAX = 64
 
 
 def dissolve(df: DataFrame, key_col: str, grid_size: float,
-             geom_col: str = "geom", n_salts: int | str = 1) -> DataFrame:
+             geom_col: str = "geom", n_salts: int | str = 1,
+             auto_checkpoint: bool = True, n_buckets: int | None = None) -> DataFrame:
     """-> (key, area, n_parts, geom WKB multipolygon): union of all
     geometries per key on the snap grid (winding >= 1 rule, so overlapping
     inputs union correctly).
@@ -133,12 +134,25 @@ def dissolve(df: DataFrame, key_col: str, grid_size: float,
     the slimmed input is localCheckpoint()ed internally first — an
     expensive upstream plan is evaluated ONCE, and the dissolve itself
     then reads the checkpoint.  Explicit n_salts pays no extra action and
-    no checkpoint."""
+    no checkpoint.  Callers whose input is ALREADY materialized (border
+    heal passes a checkpointed pieces frame) pass auto_checkpoint=False
+    to skip re-materializing the geometry bytes.
+
+    n_buckets defaults to the scale-aware kernel bucket count (~128 hash
+    groups per core — the same straggler-balance rule as the cell
+    kernels)."""
+    if n_buckets is None:
+        from resolve_overlap_and_gap_spark.operators.overlap_gap import (
+            default_cell_buckets,
+        )
+
+        n_buckets = default_cell_buckets(df)
     slim = df.select(
         F.col(key_col).cast("long").alias("key"), F.col(geom_col).alias("geom")
     )
     if n_salts == "auto":
-        slim = slim.localCheckpoint()
+        if auto_checkpoint:
+            slim = slim.localCheckpoint()
         maxc = (slim.groupBy("key").count()
                 .agg(F.max("count").alias("m")).collect()[0]["m"]) or 0
         n_salts = 1 if maxc <= AUTO_SALT_TARGET else min(
@@ -166,7 +180,7 @@ def dissolve(df: DataFrame, key_col: str, grid_size: float,
             return pd.DataFrame(rows, columns=["key", "area", "n_parts", "geom"])
 
         partial = salted.withColumn(
-            "bucket", F.pmod(F.hash("key", "_salt"), F.lit(256))
+            "bucket", F.pmod(F.hash("key", "_salt"), F.lit(n_buckets))
         ).groupBy("bucket").applyInPandas(partial_kernel, DISSOLVE_SCHEMA)
         return dissolve(partial.select("key", "geom"), "key", grid_size)
 
@@ -187,5 +201,5 @@ def dissolve(df: DataFrame, key_col: str, grid_size: float,
         return pd.DataFrame(rows, columns=["key", "area", "n_parts", "geom"])
 
     # hashed buckets: many keys per Arrow round-trip
-    bucketed = slim.withColumn("bucket", F.pmod(F.hash("key"), F.lit(256)))
+    bucketed = slim.withColumn("bucket", F.pmod(F.hash("key"), F.lit(n_buckets)))
     return bucketed.groupBy("bucket").applyInPandas(kernel, DISSOLVE_SCHEMA)

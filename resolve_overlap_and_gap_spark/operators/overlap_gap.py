@@ -41,6 +41,16 @@ from resolve_overlap_and_gap_spark.geom.core import clip_ring_to_box, ring_area2
 UNIVERSE = -1  # poly id of the cell box in the overlay
 
 
+def default_cell_buckets(df) -> int:
+    """Cell-bucket count for the applyInPandas kernel stages: ~128 hash
+    groups per core keeps per-partition kernel CPU balanced (buckets are
+    nearly free — the kernel loops cells within a batch, so more buckets
+    only means more, smaller Arrow groups); scales with the cluster
+    instead of a local constant (r6 A/B at 32 cores: 256 -> 4096 buckets
+    cut the balanced detect stage 10.6 -> 6.4 s at sf0.1)."""
+    return max(4096, 128 * df.sparkSession.sparkContext.defaultParallelism)
+
+
 # ------------------------------------------------------------ bounds stage
 BOUNDS_SCHEMA = T.StructType(
     [
@@ -138,7 +148,7 @@ DETECT_SCHEMA = T.StructType([
 
 def detect_all(features: DataFrame, cfg: EngineConfig, res: int = 6,
                geom_col: str = "geom", id_col: str = "fid",
-               n_buckets: int = 256) -> DataFrame:
+               n_buckets: int | None = None) -> DataFrame:
     """One-pass detection: per cell, ONE overlay yields both overlap rows
     (per feature pair, J2 semantics) and gap rows (uncovered faces,
     ST_Difference(cell, union) semantics). The reference needs three scans
@@ -149,6 +159,8 @@ def detect_all(features: DataFrame, cfg: EngineConfig, res: int = 6,
     applyInPandas overhead thousands of times); AQE still splits skewed
     buckets. The kernel loops cells inside the batch."""
     g = cfg.snap_tolerance
+    if n_buckets is None:
+        n_buckets = default_cell_buckets(features)
     feats = features.select(
         F.col(id_col).cast("long").alias("fid"), F.col(geom_col).alias("geom")
     )
@@ -298,7 +310,7 @@ def assign_balanced_cells(features: DataFrame, cfg: EngineConfig,
 
 def detect_all_balanced(features: DataFrame, cfg: EngineConfig,
                         geom_col: str = "geom", id_col: str = "fid",
-                        n_buckets: int = 256,
+                        n_buckets: int | None = None,
                         assigned: DataFrame | None = None) -> DataFrame:
     """Detection over the CONTENT-BALANCED grid (the reference's
     cbg_content_based_balanced_grid semantics,
@@ -317,6 +329,8 @@ def detect_all_balanced(features: DataFrame, cfg: EngineConfig,
     same layer should pass the same (ideally checkpointed) assignment to
     both instead of re-deriving the frontier twice."""
     g = cfg.snap_tolerance
+    if n_buckets is None:
+        n_buckets = default_cell_buckets(features)
     if assigned is None:
         assigned = assign_balanced_cells(features, cfg, geom_col, id_col)
     cells = assigned.withColumn("bucket", F.pmod(F.hash("cell_id"), F.lit(n_buckets)))

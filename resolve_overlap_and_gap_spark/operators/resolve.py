@@ -330,7 +330,7 @@ def _bucket_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
 
 def resolve(features: DataFrame, cfg: EngineConfig, res: int = 8,
             geom_col: str = "geom", id_col: str = "fid",
-            n_buckets: int = 256, emit_border_gaps: bool = False,
+            n_buckets: int | None = None, emit_border_gaps: bool = False,
             payload_col: str | None = None) -> DataFrame:
     """-> (cell_id, owner, other_ids, area, geom[, payload]) — clean
     coverage pieces.  With emit_border_gaps, extra rows (owner = GAP_OWNER
@@ -348,6 +348,12 @@ def resolve(features: DataFrame, cfg: EngineConfig, res: int = 8,
 
     Cells are processed in hashed buckets (one Arrow round-trip covers many
     cells; per-cell groups would pay applyInPandas overhead per cell)."""
+    from resolve_overlap_and_gap_spark.operators.overlap_gap import (
+        default_cell_buckets,
+    )
+
+    if n_buckets is None:
+        n_buckets = default_cell_buckets(features)
     sel = [F.col(id_col).cast("long").alias("fid"), F.col(geom_col).alias("geom")]
     schema = RESOLVE_SCHEMA
     if payload_col is not None:
@@ -369,7 +375,7 @@ def resolve(features: DataFrame, cfg: EngineConfig, res: int = 8,
 
 def resolve_balanced(features: DataFrame, cfg: EngineConfig,
                      geom_col: str = "geom", id_col: str = "fid",
-                     n_buckets: int = 256,
+                     n_buckets: int | None = None,
                      emit_border_gaps: bool = False,
                      assigned: DataFrame | None = None) -> DataFrame:
     """Resolve over the CONTENT-BALANCED grid — the reference's main
@@ -381,8 +387,11 @@ def resolve_balanced(features: DataFrame, cfg: EngineConfig,
     resolution-agnostic (cell bounds derive from the Morton id)."""
     from resolve_overlap_and_gap_spark.operators.overlap_gap import (
         assign_balanced_cells,
+        default_cell_buckets,
     )
 
+    if n_buckets is None:
+        n_buckets = default_cell_buckets(features)
     if assigned is None:
         # like the reference, a combined detect+resolve pipeline should
         # build the grid once (resolve_overlap_gap_init) and pass it in

