@@ -58,7 +58,7 @@ def rings_to_segments(polys: list[tuple[int, list[np.ndarray]]]):
             is_ccw = a2 > 0
             if want_ccw != is_ccw:
                 r = r[::-1]
-            nxt = np.roll(r, -1, axis=0)
+            nxt = np.concatenate((r[1:], r[:1]), axis=0)  # roll(-1) via slicing
             keep = (r != nxt).any(axis=1)
             s = np.hstack([r[keep], nxt[keep]])
             segs.append(s)
@@ -419,7 +419,10 @@ class Arrangement:
 
     def walk_coords(self, wid: int) -> np.ndarray:
         hs = self.walks[wid]
-        return np.stack([self._fx[hs], self._fy[hs]], axis=1)
+        out = np.empty((len(hs), 2), np.int64)
+        out[:, 0] = self._fx[hs]
+        out[:, 1] = self._fy[hs]
+        return out
 
 
 def _ray_winding(px: int, py: int, arr: Arrangement,
@@ -700,6 +703,104 @@ def union_faces(polys: list[tuple[int, list[np.ndarray]]]) -> list[Face]:
     return list(faces.values())
 
 
+def multi_union_faces(polys: list[tuple[int, list[np.ndarray]]]) -> dict[int, list[Face]]:
+    """Per-pid dissolved union computed in ONE arrangement pass over all
+    inputs: {pid: union_faces(that pid's polys)} — but with a single
+    noding + DCEL + labeling instead of one full machinery invocation per
+    pid, which is what makes the heal's final owner dissolve affordable
+    (142k owners x ~1 ms of fixed numpy overhead otherwise).
+
+    EXACT-EQUIVALENCE PRECONDITION: different pids' interiors must be
+    DISJOINT (sharing boundary edges is fine — the per-cell resolve
+    output partitions the plane, so the heal qualifies).  If pid j's
+    boundary crossed pid k's interior, k's face would be subdivided and
+    its face count would differ from the per-pid union.  Face areas
+    (exact int area2) and face counts match the per-pid result; vertex
+    chains may carry extra collinear subdivision points where another
+    pid's boundary nodes a shared edge."""
+    S, pid, wt = rings_to_segments(polys)
+    if len(S) == 0:
+        return {}
+    S, pid, wt = node_segments(S, pid, wt)
+    arr = Arrangement(S, pid, wt)
+    winding = label_walks(arr)
+    all_pids = sorted({p for w in winding for p in w})
+    wl = arr.walk_of[0::2]
+    wr = arr.walk_of[1::2]
+    E = arr.edges
+    S2_list, P2_list = [], []
+    for k in all_pids:
+        covL = np.fromiter((winding[int(w)].get(k, 0) > 0 for w in wl),
+                           dtype=bool, count=len(E))
+        covR = np.fromiter((winding[int(w)].get(k, 0) > 0 for w in wr),
+                           dtype=bool, count=len(E))
+        keep = covL != covR
+        if not keep.any():
+            continue
+        Ek = E[keep]
+        fl = covL[keep]
+        # orient with k's interior on the left
+        S2_list.append(np.where(fl[:, None], Ek, Ek[:, [2, 3, 0, 1]]).astype(np.int64))
+        P2_list.append(np.full(int(keep.sum()), k, np.int64))
+    out: dict[int, list[Face]] = {k: [] for k in all_pids}
+    if not S2_list:
+        return out
+    S2 = np.vstack(S2_list)
+    P2 = np.concatenate(P2_list)
+    arr2 = Arrangement(S2, P2, np.ones(len(S2), np.int64))
+    w2 = label_walks(arr2)
+    area2 = arr2.walk_area2
+    # per-pid positive faces and negative (hole) walks, with the same
+    # smallest-containing-face hole attachment as union_faces
+    pos_by_pid: dict[int, list[int]] = {k: [] for k in all_pids}
+    neg_by_pid: dict[int, list[int]] = {k: [] for k in all_pids}
+    for i, w in enumerate(w2):
+        a = int(area2[i])
+        if a == 0:
+            continue
+        for k, v in w.items():
+            if v > 0:
+                (pos_by_pid if a > 0 else neg_by_pid)[k].append(i)
+    coords_cache: dict[int, np.ndarray] = {}
+
+    def coords(i: int) -> np.ndarray:
+        c = coords_cache.get(i)
+        if c is None:
+            c = arr2.walk_coords(i)
+            coords_cache[i] = c
+        return c
+
+    for k in all_pids:
+        pos = pos_by_pid[k]
+        faces = {i: Face(shell=coords(i), winding=w2[i], area2=int(area2[i]))
+                 for i in pos}
+        if neg_by_pid[k]:
+            pos_sorted = sorted(pos, key=lambda i: area2[i])
+            pos_bbox = {
+                i: (coords(i)[:, 0].min(), coords(i)[:, 1].min(),
+                    coords(i)[:, 0].max(), coords(i)[:, 1].max())
+                for i in pos
+            }
+            for h in neg_by_pid[k]:
+                hc = coords(h)
+                px = int(hc[:, 0].min())
+                py = int(hc[hc[:, 0] == px][:, 1].min())
+                hb = (hc[:, 0].min(), hc[:, 1].min(), hc[:, 0].max(), hc[:, 1].max())
+                for i in pos_sorted:
+                    if -area2[h] >= area2[i]:
+                        continue
+                    bb = pos_bbox[i]
+                    if not (bb[0] <= hb[0] and bb[1] <= hb[1]
+                            and bb[2] >= hb[2] and bb[3] >= hb[3]):
+                        continue
+                    if _point_in_walk(px, py, coords(i)):
+                        faces[i].holes.append(hc)
+                        faces[i].area2 += int(area2[h])
+                        break
+        out[k] = list(faces.values())
+    return out
+
+
 def ring_is_valid(ring: np.ndarray) -> bool:
     """Simple-ring validity (bowtie detection): a valid ring's segments node
     to themselves without splits and enclose nonzero area — the engine's
@@ -711,7 +812,7 @@ def ring_is_valid(ring: np.ndarray) -> bool:
         return False
     if ring_area2(r.astype(np.float64)) == 0:
         return False
-    nxt = np.roll(r, -1, axis=0)
+    nxt = np.concatenate((r[1:], r[:1]), axis=0)  # roll(-1) via slicing
     keep = (r != nxt).any(axis=1)
     S = np.hstack([r[keep], nxt[keep]])
     n0 = len(S)

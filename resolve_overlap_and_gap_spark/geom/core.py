@@ -13,9 +13,13 @@ import numpy as np
 # ------------------------------------------------------------ measures
 def ring_area2(c: np.ndarray) -> float:
     """2x signed shoelace area of a closed or open ring (CCW positive).
-    (ST_Area analog, planar.)"""
+    (ST_Area analog, planar.)  The rotated copies are built by slicing
+    instead of np.roll (identical contents -> identical np.dot result;
+    roll was ~10% of the dissolve kernel's profile)."""
     x, y = c[:, 0], c[:, 1]
-    return float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    yr = np.concatenate((y[1:], y[:1]))
+    xr = np.concatenate((x[1:], x[:1]))
+    return float(np.dot(x, yr) - np.dot(y, xr))
 
 
 def polygon_area(rings: list[np.ndarray]) -> float:

@@ -422,7 +422,9 @@ def _geodesic_area_udf(cfg: EngineConfig):
 
 def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
                      res: int = 8, border_gaps: DataFrame | None = None,
-                     checkpoint: bool = True) -> DataFrame:
+                     checkpoint: bool = True,
+                     dissolve_disjoint: bool = False,
+                     dissolve_geom: bool = True) -> DataFrame:
     """-> (owner, area, geom) — the final healed layer.
 
     features: the ORIGINAL polygon layer (fid, geom) — used to detect gaps
@@ -439,6 +441,11 @@ def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
     cell).
     checkpoint: set False when the caller already materialized pieces
     (avoids a redundant eager localCheckpoint).
+    dissolve_disjoint / dissolve_geom: forwarded to the final owner
+    dissolve — resolve pieces partition the plane, so callers that do not
+    re-emit the healed geometry (the benched resolve_healed emits
+    owner/area/n_parts only) can run the bucket-batched union and skip
+    the WKB dumps; defaults keep the exact per-key path with geometry.
     """
     g = cfg.snap_tolerance
     spark = pieces.sparkSession
@@ -496,8 +503,9 @@ def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
         # must never serialize the heal's final dissolve);
         # auto_checkpoint=False — pieces is already materialized above
         return dissolve(pieces.select("owner", "geom"), "owner", g,
-                        n_salts="auto",
-                        auto_checkpoint=False).withColumnRenamed("key", "owner")
+                        n_salts="auto", auto_checkpoint=False,
+                        disjoint=dissolve_disjoint,
+                        with_geom=dissolve_geom).withColumnRenamed("key", "owner")
 
     # 3. slivers join candidate pieces sharing a covering cell with the
     #    sliver bbox (J1); adjacency per sliver via overlay; choose
@@ -592,4 +600,5 @@ def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
     # auto-salt sizing count re-reads cached partitions instead of
     # re-materializing ~150 MB of geometry
     return dissolve(combined, "owner", g, n_salts="auto",
-                    auto_checkpoint=False).withColumnRenamed("key", "owner")
+                    auto_checkpoint=False, disjoint=dissolve_disjoint,
+                    with_geom=dissolve_geom).withColumnRenamed("key", "owner")

@@ -109,9 +109,82 @@ AUTO_SALT_TARGET = 2000   # pieces per partial-union task on the hot key
 AUTO_SALT_MAX = 64
 
 
+def _union_bucket_disjoint(keys: np.ndarray, geoms: np.ndarray,
+                           starts: np.ndarray, ends: np.ndarray,
+                           grid_size: float, with_geom: bool) -> list[tuple]:
+    """All keys of one bucket in ONE arrangement pass: multi-piece
+    bbox-components of every key share a single noding/DCEL/labeling
+    invocation (multi_union_faces) instead of one full machinery call per
+    key, which is what made the heal's final owner dissolve ~1 ms/key.
+
+    EXACT-FAITHFUL to the per-key path: singleton components run the
+    identical single_part float math; multi-piece components produce the
+    same integer face areas and face counts through the shared
+    arrangement (precondition: distinct keys' interiors are disjoint —
+    the heal's resolve pieces partition the plane; sharing borders is
+    fine).  Geometry is emitted only when with_geom (vertex chains can
+    carry collinear subdivision points from neighboring keys, so callers
+    that re-emit geometry downstream keep the per-key path)."""
+    from resolve_overlap_and_gap_spark.geom.arrangement import multi_union_faces
+    from resolve_overlap_and_gap_spark.geom.core import ring_area2
+
+    def single_part(rings) -> tuple[float, list]:
+        a2 = abs(ring_area2(rings[0].astype(np.float64)))
+        for h in rings[1:]:
+            a2 -= abs(ring_area2(h.astype(np.float64)))
+        return a2, ([r.astype(np.float64) * grid_size for r in rings]
+                    if with_geom else None)
+
+    # phase 1: per key, split bbox-components; singletons resolve locally,
+    # multi-piece components enter the shared arrangement with a dense pid
+    per_key: dict[int, list] = {}      # key -> [area2, mp, n_parts]
+    pid_of: dict[int, int] = {}        # dense pid -> key
+    shared_polys: list[tuple[int, list]] = []
+    next_pid = 0
+    for s, e in zip(starts, ends):
+        k = int(keys[s])
+        polys = []
+        for b in geoms[s:e]:
+            for rings in wkb.load_polygons(bytes(b)):
+                ir = [np.floor(np.asarray(r, np.float64) / grid_size + 0.5)
+                      .astype(np.int64) for r in rings]
+                polys.append((0, ir))
+        acc = per_key.setdefault(k, [0.0, [], 0])
+        for members in _bbox_components(polys):
+            if len(members) == 1:
+                a2, rings_f = single_part(polys[members[0]][1])
+                acc[0] += a2
+                if with_geom:
+                    acc[1].append(rings_f)
+                acc[2] += 1
+            else:
+                for i in members:
+                    shared_polys.append((next_pid, polys[i][1]))
+                pid_of[next_pid] = k
+                next_pid += 1
+    # phase 2: one arrangement over every multi-piece component
+    if shared_polys:
+        by_pid = multi_union_faces(shared_polys)
+        for p, faces in by_pid.items():
+            acc = per_key[pid_of[p]]
+            for f in faces:
+                acc[0] += f.area2
+                if with_geom:
+                    acc[1].append(
+                        [f.shell.astype(np.float64) * grid_size]
+                        + [h.astype(np.float64) * grid_size for h in f.holes])
+                acc[2] += 1
+    return [
+        (k, acc[0] / 2.0 * grid_size * grid_size, acc[2],
+         wkb.dump_multipolygon(acc[1]) if with_geom else None)
+        for k, acc in per_key.items()
+    ]
+
+
 def dissolve(df: DataFrame, key_col: str, grid_size: float,
              geom_col: str = "geom", n_salts: int | str = 1,
-             auto_checkpoint: bool = True, n_buckets: int | None = None) -> DataFrame:
+             auto_checkpoint: bool = True, n_buckets: int | None = None,
+             disjoint: bool = False, with_geom: bool = True) -> DataFrame:
     """-> (key, area, n_parts, geom WKB multipolygon): union of all
     geometries per key on the snap grid (winding >= 1 rule, so overlapping
     inputs union correctly).
@@ -182,23 +255,36 @@ def dissolve(df: DataFrame, key_col: str, grid_size: float,
         partial = salted.withColumn(
             "bucket", F.pmod(F.hash("key", "_salt"), F.lit(n_buckets))
         ).groupBy("bucket").applyInPandas(partial_kernel, DISSOLVE_SCHEMA)
-        return dissolve(partial.select("key", "geom"), "key", grid_size)
+        return dissolve(partial.select("key", "geom"), "key", grid_size,
+                        disjoint=disjoint, with_geom=with_geom)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        # sorted numpy slicing instead of pandas groupby: ~1 ms/group
-        # groupby overhead dominates when groups are tiny (the common case
-        # after per-cell resolve — most owners have 1-5 pieces)
-        keys = pdf["key"].to_numpy()
-        order = np.argsort(keys, kind="stable")
-        keys = keys[order]
-        geoms = pdf["geom"].to_numpy(dtype=object)[order]
-        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
-        ends = np.r_[starts[1:], len(keys)]
-        rows = [
-            _union_one_group(int(keys[s]), list(geoms[s:e]), grid_size)
-            for s, e in zip(starts, ends)
-        ]
-        return pd.DataFrame(rows, columns=["key", "area", "n_parts", "geom"])
+    if disjoint:
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            keys = pdf["key"].to_numpy()
+            order = np.argsort(keys, kind="stable")
+            keys = keys[order]
+            geoms = pdf["geom"].to_numpy(dtype=object)[order]
+            starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+            ends = np.r_[starts[1:], len(keys)]
+            rows = _union_bucket_disjoint(
+                keys, geoms, starts, ends, grid_size, with_geom)
+            return pd.DataFrame(rows, columns=["key", "area", "n_parts", "geom"])
+    else:
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            # sorted numpy slicing instead of pandas groupby: ~1 ms/group
+            # groupby overhead dominates when groups are tiny (the common
+            # case after per-cell resolve — most owners have 1-5 pieces)
+            keys = pdf["key"].to_numpy()
+            order = np.argsort(keys, kind="stable")
+            keys = keys[order]
+            geoms = pdf["geom"].to_numpy(dtype=object)[order]
+            starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+            ends = np.r_[starts[1:], len(keys)]
+            rows = [
+                _union_one_group(int(keys[s]), list(geoms[s:e]), grid_size)
+                for s, e in zip(starts, ends)
+            ]
+            return pd.DataFrame(rows, columns=["key", "area", "n_parts", "geom"])
 
     # hashed buckets: many keys per Arrow round-trip
     bucketed = slim.withColumn("bucket", F.pmod(F.hash("key"), F.lit(n_buckets)))
