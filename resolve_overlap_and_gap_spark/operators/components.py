@@ -61,6 +61,17 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     rep = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
         F.col("u").alias("id"), F.least(F.col("u"), F.col("mn")).alias("rep")
+    )
+    # one pointer jump on the rep map itself (rep <- rep[rep]) BEFORE
+    # contracting: on near-clique dedup graphs most nodes reach the clique
+    # min here, so the contracted edge set shrinks toward empty and the
+    # iterative loop is usually a single confirm round.  Exact: rep(u) is
+    # in u's component and monotonically non-increasing, and a component's
+    # min node is always its own rep, so the contraction-validity argument
+    # above is unchanged with rep2 in place of rep.
+    rmap = rep.select(F.col("id").alias("_rid"), F.col("rep").alias("_rrep"))
+    rep = rep.join(rmap, rep["rep"] == rmap["_rid"], "left").select(
+        "id", F.coalesce("_rrep", "rep").alias("rep")
     ).localCheckpoint()
     # contract over the UN-symmetrized edges (half the join rows — the
     # reversed copies would only produce the mirrored contracted edges the

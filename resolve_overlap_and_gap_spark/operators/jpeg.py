@@ -1070,8 +1070,14 @@ def _decode_scan(p: _Parsed, scan: dict, grids, cid2ci, tb) -> None:
     for cid, td, ta in comps:
         ci = cid2ci[cid]
         if ss == 0 and ah == 0:
+            if (0, td) not in huff:
+                raise ValueError(
+                    "corrupt JPEG: scan references undefined Huffman table")
             dc_lut[ci] = _decode_tables(*huff[(0, td)])
         if ss > 0:
+            if (1, ta) not in huff:
+                raise ValueError(
+                    "corrupt JPEG: scan references undefined Huffman table")
             ac_lut = _decode_tables(*huff[(1, ta)])
     segs = (_RST_SPLIT.split(scan["data"]) if ri else [scan["data"]])
     segs = [s.replace(b"\xff\x00", b"\xff") for s in segs]

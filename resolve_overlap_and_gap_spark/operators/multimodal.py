@@ -942,7 +942,18 @@ def image_dhash(media: DataFrame, grid_w: int = 9,
                 rs, cs = starts(h, grid_h), starts(w, grid_w)
                 rn = np.diff(np.append(rs, h))
                 cn = np.diff(np.append(cs, w))
-                s = np.add.reduceat(np.add.reduceat(a, rs, axis=0), cs, axis=1)
+                # tiny images (h < grid_h or w < grid_w, e.g. 1x1 tracking
+                # pixels) produce empty np.array_split cells; reduceat
+                # would raise on a start index == axis length, and with
+                # duplicate indices it yields a[idx] rather than 0 — clamp
+                # the indices and zero the empty cells explicitly, which
+                # matches array_split semantics (empty cell sum 0, n 0, so
+                # the bit comparison 0 > 0 is False on either side)
+                rs_c = np.minimum(rs, max(h - 1, 0))
+                cs_c = np.minimum(cs, max(w - 1, 0))
+                s = np.add.reduceat(np.add.reduceat(a, rs_c, axis=0), cs_c, axis=1)
+                s[rn == 0, :] = 0
+                s[:, cn == 0] = 0
                 n = np.outer(rn, cn)
                 bits = (s[:, 1:] * n[:, :-1]) > (s[:, :-1] * n[:, 1:])
                 v = 0

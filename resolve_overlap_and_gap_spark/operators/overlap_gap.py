@@ -148,7 +148,8 @@ DETECT_SCHEMA = T.StructType([
 
 def detect_all(features: DataFrame, cfg: EngineConfig, res: int = 6,
                geom_col: str = "geom", id_col: str = "fid",
-               n_buckets: int | None = None) -> DataFrame:
+               n_buckets: int | None = None,
+               with_geom: bool = True) -> DataFrame:
     """One-pass detection: per cell, ONE overlay yields both overlap rows
     (per feature pair, J2 semantics) and gap rows (uncovered faces,
     ST_Difference(cell, union) semantics). The reference needs three scans
@@ -170,7 +171,7 @@ def detect_all(features: DataFrame, cfg: EngineConfig, res: int = 6,
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         parts = [
-            _detect_one_cell(sub, cfg, res, g)
+            _detect_one_cell(sub, cfg, res, g, with_geom)
             for _, sub in pdf.groupby("cell_id", sort=True)
         ]
         parts = [p for p in parts if len(p)]  # pandas-3: no all-NA concat
@@ -183,7 +184,8 @@ def detect_all(features: DataFrame, cfg: EngineConfig, res: int = 6,
     return cells.groupBy("bucket").applyInPandas(kernel, DETECT_SCHEMA)
 
 
-def _detect_one_cell(pdf: pd.DataFrame, cfg: EngineConfig, res: int, g: float) -> pd.DataFrame:
+def _detect_one_cell(pdf: pd.DataFrame, cfg: EngineConfig, res: int, g: float,
+                     with_geom: bool = True) -> pd.DataFrame:
     quarantined: list[int] = []
     cell, faces = _cell_faces(pdf, cfg, res, quarantine=quarantined)
     xmin, ymin, xmax, ymax = grid.cell_bounds_np(np.array([cell], dtype=np.int64))
@@ -207,10 +209,12 @@ def _detect_one_cell(pdf: pd.DataFrame, cfg: EngineConfig, res: int, g: float) -
                 (s[:, 0] == cxmin).any() or (s[:, 0] == cxmax).any()
                 or (s[:, 1] == cymin).any() or (s[:, 1] == cymax).any()
             )
-            mp = [[f.shell.astype(np.float64) * g]
-                  + [h.astype(np.float64) * g for h in f.holes]]
+            gg = (wkb.dump_multipolygon(
+                [[f.shell.astype(np.float64) * g]
+                 + [h.astype(np.float64) * g for h in f.holes]])
+                  if with_geom else None)
             rows.append((cell, "gap", None, None, f.area2 / 2.0 * g * g,
-                         touches, wkb.dump_multipolygon(mp)))
+                         touches, gg))
             continue
         ids = sorted(p for p in f.cover if p != UNIVERSE)
         for i in range(len(ids)):
@@ -220,9 +224,11 @@ def _detect_one_cell(pdf: pd.DataFrame, cfg: EngineConfig, res: int, g: float) -
         area = sum(f.area2 for f in fs) / 2.0 * g * g
         if area <= 0:
             continue
-        mp = [[f.shell.astype(np.float64) * g]
-              + [h.astype(np.float64) * g for h in f.holes] for f in fs]
-        rows.append((cell, "overlap", a, b, area, None, wkb.dump_multipolygon(mp)))
+        gg = (wkb.dump_multipolygon(
+            [[f.shell.astype(np.float64) * g]
+             + [h.astype(np.float64) * g for h in f.holes] for f in fs])
+              if with_geom else None)
+        rows.append((cell, "overlap", a, b, area, None, gg))
     return pd.DataFrame(
         rows,
         columns=["cell_id", "kind", "id_a", "id_b", "area", "touches_border", "geom"],
@@ -311,7 +317,8 @@ def assign_balanced_cells(features: DataFrame, cfg: EngineConfig,
 def detect_all_balanced(features: DataFrame, cfg: EngineConfig,
                         geom_col: str = "geom", id_col: str = "fid",
                         n_buckets: int | None = None,
-                        assigned: DataFrame | None = None) -> DataFrame:
+                        assigned: DataFrame | None = None,
+                        with_geom: bool = True) -> DataFrame:
     """Detection over the CONTENT-BALANCED grid (the reference's
     cbg_content_based_balanced_grid semantics,
     find_overlap_and_gap-pre.sql:121-249): hot cells refine to children
@@ -339,7 +346,7 @@ def detect_all_balanced(features: DataFrame, cfg: EngineConfig,
         parts = []
         for cid, sub in pdf.groupby("cell_id", sort=True):
             r = int(grid.cell_res_np(np.array([cid], dtype=np.int64))[0])
-            parts.append(_detect_one_cell(sub, cfg, r, g))
+            parts.append(_detect_one_cell(sub, cfg, r, g, with_geom))
         parts = [p for p in parts if len(p)]  # pandas-3: no all-NA concat
         if not parts:
             return pd.DataFrame(

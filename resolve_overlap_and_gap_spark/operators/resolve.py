@@ -190,7 +190,8 @@ def face_measure_areas(faces, g: float, cfg: EngineConfig) -> tuple[list[float],
 
 
 def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
-                 emit_border_gaps: bool = False) -> pd.DataFrame:
+                 emit_border_gaps: bool = False,
+                 with_geom: bool = True) -> pd.DataFrame:
     """Per-cell resolve kernel (module-level so checkpointed runs reuse it).
 
     emit_border_gaps additionally emits rows (owner=GAP_OWNER) for
@@ -280,6 +281,7 @@ def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
                         + [h.astype(np.float64) * g for h in faces[i].holes]
                         for i in members
                     ]
+                    # gap rows feed the heal geometrically — always dumped
                     rows.append(_row(cell, GAP_OWNER, [], area2 / 2.0 * g * g,
                                      wkb.dump_multipolygon(mp)))
                 elif m >= min_measure:
@@ -301,20 +303,24 @@ def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
         owner = root_cover[0]
         others = root_cover[1:]
         area2 = sum(faces[i].area2 for i in members)
-        mp = [
-            [faces[i].shell.astype(np.float64) * g]
-            + [h.astype(np.float64) * g for h in faces[i].holes]
-            for i in members
-        ]
-        rows.append(_row(cell, owner, others, area2 / 2.0 * g * g,
-                         wkb.dump_multipolygon(mp)))
+        if with_geom:
+            mp = [
+                [faces[i].shell.astype(np.float64) * g]
+                + [h.astype(np.float64) * g for h in faces[i].holes]
+                for i in members
+            ]
+            gg = wkb.dump_multipolygon(mp)
+        else:
+            gg = None
+        rows.append(_row(cell, owner, others, area2 / 2.0 * g * g, gg))
     return pd.DataFrame(rows + qrows, columns=cols)
 
 
 def _bucket_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
-                   emit_border_gaps: bool = False) -> pd.DataFrame:
+                   emit_border_gaps: bool = False,
+                   with_geom: bool = True) -> pd.DataFrame:
     parts = [
-        _cell_kernel(sub, cfg, res, emit_border_gaps)
+        _cell_kernel(sub, cfg, res, emit_border_gaps, with_geom)
         for _, sub in pdf.groupby("cell_id", sort=True)
     ]
     # empty frames out of concat: all-NA columns poison dtypes under
@@ -331,7 +337,8 @@ def _bucket_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
 def resolve(features: DataFrame, cfg: EngineConfig, res: int = 8,
             geom_col: str = "geom", id_col: str = "fid",
             n_buckets: int | None = None, emit_border_gaps: bool = False,
-            payload_col: str | None = None) -> DataFrame:
+            payload_col: str | None = None,
+            with_geom: bool = True) -> DataFrame:
     """-> (cell_id, owner, other_ids, area, geom[, payload]) — clean
     coverage pieces.  With emit_border_gaps, extra rows (owner = GAP_OWNER
     = -1) carry the border-touching sub-min gap faces for the
@@ -368,7 +375,7 @@ def resolve(features: DataFrame, cfg: EngineConfig, res: int = 8,
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _bucket_kernel(pdf, cfg, res, emit_border_gaps)
+        return _bucket_kernel(pdf, cfg, res, emit_border_gaps, with_geom)
 
     return cells.groupBy("bucket").applyInPandas(kernel, schema)
 
@@ -377,7 +384,8 @@ def resolve_balanced(features: DataFrame, cfg: EngineConfig,
                      geom_col: str = "geom", id_col: str = "fid",
                      n_buckets: int | None = None,
                      emit_border_gaps: bool = False,
-                     assigned: DataFrame | None = None) -> DataFrame:
+                     assigned: DataFrame | None = None,
+                     with_geom: bool = True) -> DataFrame:
     """Resolve over the CONTENT-BALANCED grid — the reference's main
     pipeline runs on exactly this grid (resolve_overlap_gap_init builds it
     before any cell job, function_resolve_overlap_gap_init.sql:76-90). Hot
@@ -400,7 +408,7 @@ def resolve_balanced(features: DataFrame, cfg: EngineConfig,
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         # res arg unused by the kernel: cell bounds derive from the id
-        return _bucket_kernel(pdf, cfg, 0, emit_border_gaps)
+        return _bucket_kernel(pdf, cfg, 0, emit_border_gaps, with_geom)
 
     return cells.select("cell_id", "bucket", "fid", "geom").groupBy(
         "bucket"

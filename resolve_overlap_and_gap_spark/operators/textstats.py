@@ -563,8 +563,12 @@ def bpe_train(docs: DataFrame, n_merges: int = 10, text_col: str = "text",
             return pd.Series(
                 [_bpe_merge_word(list(syms), left, right) for syms in col])
 
+        # eager=True is LOAD-BEARING: apply_merge's closure reads the
+        # shared left/right cells of the enclosing scope, so each round's
+        # frame must be materialized before the next round rebinds them —
+        # a lazy checkpoint would apply the final merge pair every round
         words = (words.withColumn("syms", apply_merge("syms"))
-                 .localCheckpoint())
+                 .localCheckpoint(eager=True))
     return spark.createDataFrame(
         merges, "rank long, left string, right string, pair_count long")
 

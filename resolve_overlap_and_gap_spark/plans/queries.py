@@ -1050,7 +1050,8 @@ def q_detect_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     layer = derived_polygon_layer(spark, sf_dir)
     cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP)
-    return detect_all(layer, cfg, res=_density_res(spark, sf_dir)).select(
+    return detect_all(layer, cfg, res=_density_res(spark, sf_dir),
+                      with_geom=False).select(
         "cell_id", "kind", "id_a", "id_b",
         F.expr("cast(floor(area * 1e9) as bigint)").alias("area_x1e9"),
         "touches_border",
@@ -1067,7 +1068,8 @@ def q_resolve_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     layer = derived_polygon_layer(spark, sf_dir)
     cfg = EngineConfig(snap_tolerance=DETECT_CFG_SNAP, min_area_to_keep=1e-4)
-    return resolve(layer, cfg, res=_density_res(spark, sf_dir)).select(
+    return resolve(layer, cfg, res=_density_res(spark, sf_dir),
+                   with_geom=False).select(
         "cell_id", "owner",
         F.size("other_ids").alias("n_others"),
         F.expr("cast(floor(area * 1e9) as bigint)").alias("area_x1e9"),
@@ -1128,7 +1130,8 @@ def q_detect_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
                         max_resolution=12, max_rows_in_each_cell=160),
     )
     return detect_all_balanced(
-        layer, cfg, assigned=_balanced_assignment(spark, sf_dir)
+        layer, cfg, assigned=_balanced_assignment(spark, sf_dir),
+        with_geom=False,  # the declared output drops geom — skip the dumps
     ).select(
         "cell_id", "kind", "id_a", "id_b",
         F.expr("cast(floor(area * 1e9) as bigint)").alias("area_x1e9"),
@@ -1151,7 +1154,8 @@ def q_resolve_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
                         max_resolution=12, max_rows_in_each_cell=160),
     )
     return resolve_balanced(
-        layer, cfg, assigned=_balanced_assignment(spark, sf_dir)
+        layer, cfg, assigned=_balanced_assignment(spark, sf_dir),
+        with_geom=False,  # the declared output drops geom — skip the dumps
     ).select(
         "cell_id", "owner",
         F.size("other_ids").alias("n_others"),
