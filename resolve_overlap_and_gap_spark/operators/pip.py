@@ -35,10 +35,26 @@ PIP_SCHEMA = T.StructType([
 
 
 def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int) -> DataFrame:
-    """points: (pid, px, py); polys: (bid, geom WKB). -> (point_id, poly_id)."""
-    p_cells = with_cells(
-        polys.select(F.col("bid").alias("fid"), "geom"), res
-    ).select(F.col("fid").alias("poly_id"), "geom", "cell_id")
+    """points: (pid, px, py); polys: (bid, geom WKB). -> (point_id, poly_id).
+
+    If ``polys`` already carries xmin/ymin/xmax/ymax columns (e.g. bounds
+    derivable in closed form for synthetic footprints), the Arrow
+    WKB-bounds pass is skipped — the bbox only selects candidate cells
+    (the refine is exact on the WKB geometry), so any covering bounds
+    give the same join result."""
+    if {"xmin", "ymin", "xmax", "ymax"}.issubset(polys.columns):
+        p_cells = polys.select(
+            F.col("bid").alias("poly_id"), "geom",
+            F.explode(
+                grid.covering_cells_col(
+                    F.col("xmin"), F.col("ymin"),
+                    F.col("xmax"), F.col("ymax"), res)
+            ).alias("cell_id"),
+        )
+    else:
+        p_cells = with_cells(
+            polys.select(F.col("bid").alias("fid"), "geom"), res
+        ).select(F.col("fid").alias("poly_id"), "geom", "cell_id")
     # partition the probe side by cell up front: if Catalyst broadcasts the
     # polygon side (typical — dims are small), the join output inherits the
     # probe side's partitioning, and a small parquet scan is ONE split —

@@ -2045,12 +2045,24 @@ def q_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from resolve_overlap_and_gap_spark.sources.pages import with_regular_ngon
 
     pts = _points(spark, sf_dir, "orders", "o_orderkey")
-    # spread before the Arrow UDF chain (WKB build + bounds): the small
-    # parquet is one input split and would serialize the per-row hashing
+    # spread before the Arrow UDF chain (WKB build): the small parquet is
+    # one input split and would serialize the per-row hashing
     centers = _points(spark, sf_dir, "part", "p_partkey").repartition(
         spark.sparkContext.defaultParallelism * 2
     )
     polys = with_regular_ngon(centers, k=PIP_POLY_K).selectExpr("pid as bid", "geom")
+    # closed-form bbox from the SAME vertex formulas the oracle renders —
+    # JVM codegen instead of a second Arrow pass that re-parses the WKB
+    # the ngon kernel just wrote (bounds only pick candidate cells; the
+    # refine is exact on the WKB)
+    vs = derive.regular_ngon_vertices_sql("bid", PIP_POLY_K, SPARK)
+    polys = polys.selectExpr(
+        "bid", "geom",
+        f"least({', '.join(vx for vx, _ in vs)}) as xmin",
+        f"least({', '.join(vy for _, vy in vs)}) as ymin",
+        f"greatest({', '.join(vx for vx, _ in vs)}) as xmax",
+        f"greatest({', '.join(vy for _, vy in vs)}) as ymax",
+    )
     return point_in_polygon_join(pts, polys, PIP_RES)
 
 
