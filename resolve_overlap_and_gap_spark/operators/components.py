@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
-                         dst: str = "id_b", max_iter: int = 20) -> DataFrame:
+                         dst: str = "id_b", max_iter: int = 20,
+                         rebalance: bool = True) -> DataFrame:
     """edges: two long columns (undirected; either orientation). Returns
     (id, label) for every node appearing in edges, label = min node id of
     its component.  Driver sees only per-round changed-counts.
@@ -52,9 +53,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # downstream union/join stage here pays that task count again — the
     # AQE rebalance sizes the checkpoint to the data, locally ~1-2
     # partitions, at scale bytes/advisory partitions
-    e = (edges.select(F.col(src).cast("long").alias("u"),
-                      F.col(dst).cast("long").alias("v"))
-         .hint("rebalance").localCheckpoint())
+    # rebalance=False skips the extra shuffle when the edge plan already
+    # ends in an AQE-sized exchange (e.g. a band join) — the checkpoint
+    # then inherits sensible partitioning for free
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    if rebalance:
+        e = e.hint("rebalance")
+    e = e.localCheckpoint()
     # NO distinct here: duplicate edges are harmless to the min-aggregation
     # and the contracted-graph distinct below runs on the tiny edge set —
     # skipping it saves a full shuffle of the heavy pair table
@@ -123,11 +129,12 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
 
 def dedup_clusters(docs: DataFrame, pairs: DataFrame,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   rebalance: bool = True) -> DataFrame:
     """(doc_id, cluster_id) for EVERY document: cluster_id = min doc id of
     its near-dup component; singletons cluster with themselves.  Keep-one
     = ``where doc_id == cluster_id``."""
-    labels = connected_components(pairs)
+    labels = connected_components(pairs, rebalance=rebalance)
     return (
         docs.select(F.col(id_col).cast("long").alias("doc_id"))
         .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")

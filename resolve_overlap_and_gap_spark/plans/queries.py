@@ -1799,7 +1799,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.shingles(docs, k=3)
     sig = dedup.minhash_signatures(sh, n_hashes=N_MINHASH)
     pairs = dedup.minhash_lsh_pairs(sig, bands=4, rows_per_band=2)
-    return dedup_clusters(docs, pairs)
+    # distinct() output is already AQE-sized — skip the CC rebalance
+    return dedup_clusters(docs, pairs, rebalance=False)
 
 
 def o_dedup_clusters() -> str:
@@ -1855,7 +1856,8 @@ def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.simhash(docs, bits=SIMHASH_BITS)
     pairs = dedup.simhash_neardup_pairs(sh, bits=SIMHASH_BITS, bands=4,
                                         max_hamming=SIMHASH_MAXHAM)
-    return dedup_clusters(docs, pairs)
+    # the band join's output is already AQE-sized — skip the CC rebalance
+    return dedup_clusters(docs, pairs, rebalance=False)
 
 
 def o_simhash_clusters() -> str:
