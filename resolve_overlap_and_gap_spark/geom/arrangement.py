@@ -115,31 +115,39 @@ def _bbox_pairs_binned(S, x1, y1, x2, y2) -> tuple[np.ndarray, np.ndarray]:
     bx2 = ((x2 - gx0) / ext).astype(np.int64)
     by1 = ((y1 - gy0) / ext).astype(np.int64)
     by2 = ((y2 - gy0) / ext).astype(np.int64)
-    # explode each segment to its bins (bounded: bbox ~ median extent)
-    seg_ids, bins = [], []
-    for i in range(m):
-        for bx in range(bx1[i], bx2[i] + 1):
-            for by in range(by1[i], by2[i] + 1):
-                seg_ids.append(i)
-                bins.append(bx << 32 | by)
-    seg_ids = np.asarray(seg_ids, np.int64)
-    bins = np.asarray(bins, np.int64)
+    # explode each segment to its bins (bounded: bbox ~ median extent) —
+    # fully vectorized repeat/arange arithmetic, no per-segment loops
+    nx = bx2 - bx1 + 1
+    ny = by2 - by1 + 1
+    counts = nx * ny
+    total = int(counts.sum())
+    seg_ids = np.repeat(np.arange(m, dtype=np.int64), counts)
+    w = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(counts)))[:-1], counts)
+    ny_r = np.repeat(ny, counts)
+    bx = np.repeat(bx1, counts) + w // ny_r
+    by = np.repeat(by1, counts) + w % ny_r
+    bins = bx << 32 | by
     order = np.argsort(bins, kind="stable")
     seg_ids, bins = seg_ids[order], bins[order]
     starts = np.nonzero(np.r_[True, bins[1:] != bins[:-1]])[0]
     ends = np.r_[starts[1:], len(bins)]
-    keys = []
-    for s0, e0 in zip(starts, ends):
-        grp = seg_ids[s0:e0]
-        if len(grp) < 2:
-            continue
-        a, b = np.meshgrid(grp, grp)
-        ii, jj = a.ravel(), b.ravel()
-        k = ii < jj
-        keys.append(ii[k] * m + jj[k])
-    if not keys:
+    k = ends - starts
+    big = k >= 2
+    starts, k = starts[big], k[big]
+    if not len(starts):
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    uk = np.unique(np.concatenate(keys))
+    # all in-bin ordered pairs per group via global offset arithmetic
+    pair_cnt = k * k
+    tp = int(pair_cnt.sum())
+    wp = np.arange(tp, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(pair_cnt)))[:-1], pair_cnt)
+    s_r = np.repeat(starts, pair_cnt)
+    k_r = np.repeat(k, pair_cnt)
+    ii = seg_ids[s_r + wp // k_r]
+    jj = seg_ids[s_r + wp % k_r]
+    lt = ii < jj
+    uk = np.unique(ii[lt] * m + jj[lt])
     I, J = uk // m, uk % m
     ok = (
         (x1[I] <= x2[J]) & (x2[I] >= x1[J]) & (y1[I] <= y2[J]) & (y2[I] >= y1[J])
@@ -175,17 +183,35 @@ def node_segments(S: np.ndarray, pid: np.ndarray, wt: np.ndarray, max_iter: int 
     Intersection points are rounded to the integer grid (the snap), so a
     round can create new crossings — hence the fixpoint loop.  Raises
     NodingError (with the offending pids) if splits remain after max_iter
-    rounds — never silently returns a partially-noded arrangement."""
-    S = S.copy(); pid = pid.copy(); wt = wt.copy()
+    rounds — never silently returns a partially-noded arrangement.
+
+    Fully vectorized: split events are assembled as (segment, x, y) arrays
+    for proper crossings, endpoint touches and collinear overlaps alike,
+    and the segment rebuild is a grouped scatter — no per-pair or per-
+    segment python loops (guide §4.2)."""
+    S = np.asarray(S, dtype=np.int64).reshape(-1, 4)
+    pid = np.asarray(pid, dtype=np.int64)
+    wt = np.asarray(wt, dtype=np.int64)
     for it in range(max_iter + 1):
         m = len(S)
         if m == 0:
             break
-        splits: dict[int, set[tuple[int, int]]] = defaultdict(set)
         I, J = _bbox_pairs(S)
+        # event arrays: split segment index + split point
+        ev_s: list[np.ndarray] = []
+        ev_x: list[np.ndarray] = []
+        ev_y: list[np.ndarray] = []
+
+        def _emit(seg: np.ndarray, px: np.ndarray, py: np.ndarray):
+            """Queue split events, dropping points equal to the segment's
+            own endpoints (they split nothing)."""
+            sx1 = S[seg, 0]; sy1 = S[seg, 1]; sx2 = S[seg, 2]; sy2 = S[seg, 3]
+            keep = ((px != sx1) | (py != sy1)) & ((px != sx2) | (py != sy2))
+            if keep.any():
+                ev_s.append(seg[keep]); ev_x.append(px[keep]); ev_y.append(py[keep])
+
         if len(I):
-            # vectorized orientation predicates over all candidate pairs;
-            # only actually-interacting pairs reach the python assembly loop
+            # vectorized orientation predicates over all candidate pairs
             A, B = S[I], S[J]
             ax1, ay1, ax2, ay2 = A[:, 0], A[:, 1], A[:, 2], A[:, 3]
             bx1, by1, bx2, by2 = B[:, 0], B[:, 1], B[:, 2], B[:, 3]
@@ -204,89 +230,112 @@ def node_segments(S: np.ndarray, pid: np.ndarray, wt: np.ndarray, max_iter: int 
             )
             collin = (d1v == 0) & (d2v == 0)
             interact = strad_a & strad_b & (~share | collin)
-            # fast path: PROPER crossings (all orientations nonzero) — the
-            # intersection point is vectorized; only degenerate touches go
-            # through the python branch below
+            # PROPER crossings (all orientations nonzero): unique interior
+            # intersection point, snapped to the grid
             proper = interact & (d1v != 0) & (d2v != 0) & (d3v != 0) & (d4v != 0)
             pk = np.nonzero(proper)[0]
             if len(pk):
                 tt = d3v[pk].astype(np.float64) / (d3v[pk] - d4v[pk]).astype(np.float64)
                 pxv = np.floor(ax1[pk] + tt * (ax2[pk] - ax1[pk]) + 0.5).astype(np.int64)
                 pyv = np.floor(ay1[pk] + tt * (ay2[pk] - ay1[pk]) + 0.5).astype(np.int64)
-                Ipk = I[pk]; Jpk = J[pk]
-                for q in range(len(pk)):
-                    a = int(Ipk[q]); b = int(Jpk[q])
-                    p = (int(pxv[q]), int(pyv[q]))
-                    sa = S[a]
-                    if p != (sa[0], sa[1]) and p != (sa[2], sa[3]):
-                        splits[a].add(p)
-                    sb = S[b]
-                    if p != (sb[0], sb[1]) and p != (sb[2], sb[3]):
-                        splits[b].add(p)
-            idx = np.nonzero(interact & ~proper)[0]
-        else:
-            idx = []
-        for t in idx:
-            a, b = int(I[t]), int(J[t])
-            ax1, ay1, ax2, ay2 = (int(v) for v in S[a])
-            bx1, by1, bx2, by2 = (int(v) for v in S[b])
-            d1 = _cross(ax1, ay1, ax2, ay2, bx1, by1)
-            d2 = _cross(ax1, ay1, ax2, ay2, bx2, by2)
-            d3 = _cross(bx1, by1, bx2, by2, ax1, ay1)
-            d4 = _cross(bx1, by1, bx2, by2, ax2, ay2)
-            if d1 == 0 and d2 == 0:  # collinear: split at interior endpoints
-                for px, py in ((bx1, by1), (bx2, by2)):
-                    if _on_segment(px, py, ax1, ay1, ax2, ay2) and (px, py) not in ((ax1, ay1), (ax2, ay2)):
-                        splits[a].add((px, py))
-                for px, py in ((ax1, ay1), (ax2, ay2)):
-                    if _on_segment(px, py, bx1, by1, bx2, by2) and (px, py) not in ((bx1, by1), (bx2, by2)):
-                        splits[b].add((px, py))
-                continue
-            if ((d1 > 0) != (d2 > 0) or d1 == 0 or d2 == 0) and (
-                (d3 > 0) != (d4 > 0) or d3 == 0 or d4 == 0
-            ):
-                # touching or proper crossing: compute point, snap to grid
-                if d1 == 0 and _on_segment(bx1, by1, ax1, ay1, ax2, ay2):
-                    px, py = bx1, by1
-                elif d2 == 0 and _on_segment(bx2, by2, ax1, ay1, ax2, ay2):
-                    px, py = bx2, by2
-                elif d3 == 0 and _on_segment(ax1, ay1, bx1, by1, bx2, by2):
-                    px, py = ax1, ay1
-                elif d4 == 0 and _on_segment(ax2, ay2, bx1, by1, bx2, by2):
-                    px, py = ax2, ay2
-                else:
-                    denom = float(d3 - d4)
-                    if denom == 0:
-                        continue
-                    t = d3 / denom
-                    px = int(np.floor(ax1 + t * (ax2 - ax1) + 0.5))
-                    py = int(np.floor(ay1 + t * (ay2 - ay1) + 0.5))
-                if (px, py) not in ((ax1, ay1), (ax2, ay2)):
-                    splits[a].add((px, py))
-                if (px, py) not in ((bx1, by1), (bx2, by2)):
-                    splits[b].add((px, py))
-        if not splits:
+                _emit(I[pk], pxv, pyv)
+                _emit(J[pk], pxv, pyv)
+            # COLLINEAR overlaps: split at the other segment's endpoints
+            # (both segments lie on one line, so the on-segment test is a
+            # pure bbox containment)
+            ck = np.nonzero(interact & collin)[0]
+            if len(ck):
+                alx = np.minimum(ax1[ck], ax2[ck]); ahx = np.maximum(ax1[ck], ax2[ck])
+                aly = np.minimum(ay1[ck], ay2[ck]); ahy = np.maximum(ay1[ck], ay2[ck])
+                blx = np.minimum(bx1[ck], bx2[ck]); bhx = np.maximum(bx1[ck], bx2[ck])
+                bly = np.minimum(by1[ck], by2[ck]); bhy = np.maximum(by1[ck], by2[ck])
+                for px, py in ((bx1[ck], by1[ck]), (bx2[ck], by2[ck])):
+                    on_a = (alx <= px) & (px <= ahx) & (aly <= py) & (py <= ahy)
+                    if on_a.any():
+                        _emit(I[ck[on_a]], px[on_a], py[on_a])
+                for px, py in ((ax1[ck], ay1[ck]), (ax2[ck], ay2[ck])):
+                    on_b = (blx <= px) & (px <= bhx) & (bly <= py) & (py <= bhy)
+                    if on_b.any():
+                        _emit(J[ck[on_b]], px[on_b], py[on_b])
+            # DEGENERATE touches (some orientation zero, not collinear): the
+            # segments meet at a single point — an endpoint of one lying on
+            # the other (d==0 + bbox containment), or the snapped crossing
+            # as fallback.  All true endpoint candidates name that same
+            # point, so candidate order does not matter.
+            tk = np.nonzero(interact & ~proper & ~collin)[0]
+            if len(tk):
+                alx = np.minimum(ax1[tk], ax2[tk]); ahx = np.maximum(ax1[tk], ax2[tk])
+                aly = np.minimum(ay1[tk], ay2[tk]); ahy = np.maximum(ay1[tk], ay2[tk])
+                blx = np.minimum(bx1[tk], bx2[tk]); bhx = np.maximum(bx1[tk], bx2[tk])
+                bly = np.minimum(by1[tk], by2[tk]); bhy = np.maximum(by1[tk], by2[tk])
+                c1 = (d1v[tk] == 0) & (alx <= bx1[tk]) & (bx1[tk] <= ahx) \
+                    & (aly <= by1[tk]) & (by1[tk] <= ahy)
+                c2 = (d2v[tk] == 0) & (alx <= bx2[tk]) & (bx2[tk] <= ahx) \
+                    & (aly <= by2[tk]) & (by2[tk] <= ahy)
+                c3 = (d3v[tk] == 0) & (blx <= ax1[tk]) & (ax1[tk] <= bhx) \
+                    & (bly <= ay1[tk]) & (ay1[tk] <= bhy)
+                c4 = (d4v[tk] == 0) & (blx <= ax2[tk]) & (ax2[tk] <= bhx) \
+                    & (bly <= ay2[tk]) & (ay2[tk] <= bhy)
+                denom = d3v[tk] - d4v[tk]
+                fb = ~(c1 | c2 | c3 | c4) & (denom != 0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    tt = d3v[tk].astype(np.float64) / denom.astype(np.float64)
+                fx = np.floor(ax1[tk] + tt * (ax2[tk] - ax1[tk]) + 0.5)
+                fy = np.floor(ay1[tk] + tt * (ay2[tk] - ay1[tk]) + 0.5)
+                have = c1 | c2 | c3 | c4 | fb
+                px = np.select(
+                    [c1, c2, c3, c4, fb],
+                    [bx1[tk], bx2[tk], ax1[tk], ax2[tk],
+                     np.where(fb, fx, 0.0).astype(np.int64)], 0)
+                py = np.select(
+                    [c1, c2, c3, c4, fb],
+                    [by1[tk], by2[tk], ay1[tk], ay2[tk],
+                     np.where(fb, fy, 0.0).astype(np.int64)], 0)
+                hk = np.nonzero(have)[0]
+                if len(hk):
+                    _emit(I[tk[hk]], px[hk], py[hk])
+                    _emit(J[tk[hk]], px[hk], py[hk])
+        if not ev_s:
             break
+        seg = np.concatenate(ev_s)
+        ex = np.concatenate(ev_x)
+        ey = np.concatenate(ev_y)
         if it == max_iter:
-            raise NodingError(sorted({int(pid[i]) for i in splits}))
-        newS, newP, newW = [], [], []
-        for i in range(m):
-            x1, y1, x2, y2 = (int(v) for v in S[i])
-            if i in splits:
-                pts = [(x1, y1)] + sorted(
-                    splits[i],
-                    key=lambda p: (abs(p[0] - x1) + abs(p[1] - y1)),
-                ) + [(x2, y2)]
-                for (u1, v1), (u2, v2) in zip(pts[:-1], pts[1:]):
-                    if (u1, v1) != (u2, v2):
-                        newS.append((u1, v1, u2, v2))
-                        newP.append(pid[i]); newW.append(wt[i])
-            else:
-                newS.append((x1, y1, x2, y2))
-                newP.append(pid[i]); newW.append(wt[i])
-        S = np.asarray(newS, dtype=np.int64)
-        pid = np.asarray(newP, dtype=np.int64)
-        wt = np.asarray(newW, dtype=np.int64)
+            raise NodingError(sorted({int(p) for p in pid[np.unique(seg)]}))
+        # dedup events and order within each segment by L1 distance from
+        # the segment start (ties by coordinate — deterministic)
+        dist = np.abs(ex - S[seg, 0]) + np.abs(ey - S[seg, 1])
+        order = np.lexsort((ey, ex, dist, seg))
+        seg, ex, ey, dist = seg[order], ex[order], ey[order], dist[order]
+        dup = np.zeros(len(seg), dtype=bool)
+        dup[1:] = (seg[1:] == seg[:-1]) & (ex[1:] == ex[:-1]) & (ey[1:] == ey[:-1])
+        seg, ex, ey = seg[~dup], ex[~dup], ey[~dup]
+        # grouped rebuild: each split segment i with k events becomes k+1
+        # chained sub-segments [start, e1..ek, end]
+        split_ids, k = np.unique(seg, return_counts=True)
+        rows = k + 1
+        off = np.concatenate(([0], np.cumsum(rows)))
+        total = int(off[-1])
+        fx_ = np.empty(total, np.int64); fy_ = np.empty(total, np.int64)
+        tx_ = np.empty(total, np.int64); ty_ = np.empty(total, np.int64)
+        g = np.repeat(np.arange(len(split_ids)), k)
+        ev_gstart = np.concatenate(([0], np.cumsum(k)))[:-1]
+        pos = np.arange(len(seg)) - ev_gstart[g]
+        to_row = off[g] + pos
+        fx_[off[:-1]] = S[split_ids, 0]; fy_[off[:-1]] = S[split_ids, 1]
+        fx_[to_row + 1] = ex; fy_[to_row + 1] = ey
+        tx_[to_row] = ex; ty_[to_row] = ey
+        tx_[off[1:] - 1] = S[split_ids, 2]; ty_[off[1:] - 1] = S[split_ids, 3]
+        built = np.stack([fx_, fy_, tx_, ty_], axis=1)
+        keep_row = (fx_ != tx_) | (fy_ != ty_)
+        built = built[keep_row]
+        bp = np.repeat(pid[split_ids], rows)[keep_row]
+        bw = np.repeat(wt[split_ids], rows)[keep_row]
+        unsplit = np.ones(m, dtype=bool)
+        unsplit[split_ids] = False
+        S = np.concatenate([S[unsplit], built])
+        pid = np.concatenate([pid[unsplit], bp])
+        wt = np.concatenate([wt[unsplit], bw])
     return S, pid, wt
 
 
@@ -490,10 +539,77 @@ def label_walks(arr: Arrangement) -> list[dict[int, int]]:
 
     winding: list[dict[int, int] | None] = [None] * len(arr.walks)
 
+    comps_sorted = sorted(comp_edges, key=lambda cc: comp_anchor[cc])
+    # --- batched anchor ray-casts: ONE chunked vectorized crossing pass for
+    # all components instead of a full-edge scan per component (the per-call
+    # _ray_winding scan made dissolve buckets with thousands of disjoint
+    # owner networks O(components x edges))
+    E = arr.edges
+    ex1, ey1, ex2, ey2 = E[:, 0], E[:, 1], E[:, 2], E[:, 3]
+    elo = np.minimum(ey1, ey2)
+    ehi = np.maximum(ey1, ey2)
+    eden = ey2 - ey1
+    eup = ey1 < ey2
+    anchor_nodes = np.asarray([comp_anchor[c] for c in comps_sorted], np.int64)
+    axy = arr.nodes[anchor_nodes] if len(anchor_nodes) else np.empty((0, 2), np.int64)
+    cids = np.asarray(comps_sorted, dtype=comp_of_edge.dtype)
+    base_of: dict[int, dict[int, int]] = {}
+    # flattened per-edge net entries (sorted by edge id by construction)
+    net_len = np.fromiter((len(d) for d in arr.net), np.int64, n_edges)
+    net_e = np.repeat(np.arange(n_edges), net_len)
+    total_net = int(net_len.sum())
+    net_p = np.fromiter((p for d in arr.net for p in d), np.int64, total_net)
+    net_n = np.fromiter((n for d in arr.net for n in d.values()), np.int64,
+                        total_net)
+    acc_c: list[np.ndarray] = []; acc_p: list[np.ndarray] = []
+    acc_v: list[np.ndarray] = []
+    CH = 256
+    for i0 in range(0, len(cids), CH):
+        py = axy[i0:i0 + CH, 1][:, None]
+        # cheap boolean y-interval + own-component mask first; the int64
+        # cross-multiplied predicate is evaluated only on surviving pairs
+        m = (elo[None, :] <= py) & (py < ehi[None, :])
+        m &= comp_of_edge[None, :] != cids[i0:i0 + CH][:, None]
+        ai, ei = np.nonzero(m)
+        if len(ai):
+            pxs = axy[i0 + ai, 0]; pys = axy[i0 + ai, 1]
+            num = (pys - ey1[ei]) * (ex2[ei] - ex1[ei])
+            rhs = (pxs - ex1[ei]) * eden[ei]
+            ok = np.where(eden[ei] > 0, num < rhs, num > rhs)
+            ai, ei = ai[ok], ei[ok]
+        if len(ai):
+            # expand each crossing to its edge's net entries:
+            # p is on the RIGHT of an upward edge crossed to its left:
+            # w(right) = w(left) - net
+            st = np.searchsorted(net_e, ei, "left")
+            cnt = net_len[ei]
+            tot = int(cnt.sum())
+            if tot:
+                src = np.repeat(st, cnt) + (
+                    np.arange(tot) - np.repeat(
+                        np.concatenate(([0], np.cumsum(cnt)))[:-1], cnt))
+                e_rep = np.repeat(ei, cnt)
+                acc_c.append(np.repeat(i0 + ai, cnt))
+                acc_p.append(net_p[src])
+                acc_v.append(np.where(eup[e_rep], -net_n[src], net_n[src]))
+        del m
+    if acc_c:
+        cc = np.concatenate(acc_c); pp = np.concatenate(acc_p)
+        vv = np.concatenate(acc_v)
+        order = np.lexsort((pp, cc))
+        cc, pp, vv = cc[order], pp[order], vv[order]
+        newk = np.ones(len(cc), dtype=bool)
+        newk[1:] = (cc[1:] != cc[:-1]) | (pp[1:] != pp[:-1])
+        gidx = np.cumsum(newk) - 1
+        sums = np.zeros(int(gidx[-1]) + 1, np.int64)
+        np.add.at(sums, gidx, vv)
+        ks = np.nonzero(newk)[0]
+        for r, s in zip(ks, sums):
+            base_of.setdefault(comps_sorted[int(cc[r])], {})[int(pp[r])] = int(s)
+
     # process components in ascending anchor-node order (deterministic)
-    for c in sorted(comp_edges, key=lambda cc: comp_anchor[cc]):
-        px, py = (int(t) for t in arr.nodes[comp_anchor[c]])
-        base = _ray_winding(px, py, arr, component_of=comp_of_edge, skip_comp=c)
+    for c in comps_sorted:
+        base = base_of.get(c, {})
         walk_ids = sorted(
             {int(arr.walk_of[2 * i]) for i in comp_edges[c]}
             | {int(arr.walk_of[2 * i + 1]) for i in comp_edges[c]}
@@ -728,25 +844,30 @@ def multi_union_faces(polys: list[tuple[int, list[np.ndarray]]]) -> dict[int, li
     wl = arr.walk_of[0::2]
     wr = arr.walk_of[1::2]
     E = arr.edges
-    S2_list, P2_list = [], []
-    for k in all_pids:
-        covL = np.fromiter((winding[int(w)].get(k, 0) > 0 for w in wl),
-                           dtype=bool, count=len(E))
-        covR = np.fromiter((winding[int(w)].get(k, 0) > 0 for w in wr),
-                           dtype=bool, count=len(E))
-        keep = covL != covR
-        if not keep.any():
+    # boundary edges per pid via the symmetric difference of the two
+    # incident walks' cover sets — O(edges x boundary pids) instead of one
+    # full-edge coverage scan per pid (which was O(pids x edges): the heal
+    # buckets carry thousands of owners over tens of thousands of edges)
+    covset = [frozenset(p for p, v in w.items() if v > 0) for w in winding]
+    can_e: list[int] = []; can_p: list[int] = []
+    flip_e: list[int] = []; flip_p: list[int] = []
+    for e in range(len(E)):
+        sl = covset[int(wl[e])]
+        sr = covset[int(wr[e])]
+        if sl == sr:
             continue
-        Ek = E[keep]
-        fl = covL[keep]
-        # orient with k's interior on the left
-        S2_list.append(np.where(fl[:, None], Ek, Ek[:, [2, 3, 0, 1]]).astype(np.int64))
-        P2_list.append(np.full(int(keep.sum()), k, np.int64))
+        for k in sl - sr:   # k's interior on the left: canonical direction
+            can_e.append(e); can_p.append(k)
+        for k in sr - sl:   # interior on the right: flip
+            flip_e.append(e); flip_p.append(k)
     out: dict[int, list[Face]] = {k: [] for k in all_pids}
-    if not S2_list:
+    if not can_e and not flip_e:
         return out
-    S2 = np.vstack(S2_list)
-    P2 = np.concatenate(P2_list)
+    S2 = np.concatenate([
+        E[can_e].reshape(-1, 4),
+        E[flip_e].reshape(-1, 4)[:, [2, 3, 0, 1]],
+    ]).astype(np.int64)
+    P2 = np.asarray(can_p + flip_p, np.int64)
     arr2 = Arrangement(S2, P2, np.ones(len(S2), np.int64))
     w2 = label_walks(arr2)
     area2 = arr2.walk_area2
