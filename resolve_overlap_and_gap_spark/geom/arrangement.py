@@ -397,9 +397,16 @@ class Arrangement:
         eidx = np.cumsum(echange) - 1 if len(Ek) else np.empty(0, np.int64)
         E = Ek[echange] if len(Ek) else Ek
         self.edges = E  # (n_e, 4) int64, canonical direction
-        self.net: list[dict[int, int]] = [dict() for _ in range(len(E))]
-        for r in range(len(Ek)):
-            self.net[int(eidx[r])][int(Pk[r])] = int(Wk[r])
+        # flat per-edge net entries, sorted by edge id (eidx nondecreasing):
+        # net_p/net_n[net_start[e]:net_start[e+1]] are edge e's
+        # (poly -> winding delta) pairs.  A list-of-dicts view is built
+        # lazily (property .net) for the low-volume consumers.
+        self.net_p = Pk
+        self.net_n = Wk
+        cnt = np.bincount(eidx, minlength=len(E)) if len(Ek) else np.zeros(
+            len(E), np.int64)
+        self.net_start = np.concatenate(([0], np.cumsum(cnt))).astype(np.int64)
+        self._net_dicts: list[dict[int, int]] | None = None
 
         n_e = len(E)
         # --- half-edge coordinate arrays: even h = canonical, odd = reverse
@@ -466,6 +473,20 @@ class Arrangement:
             np.add.at(area2, walk_of, cross)
         self.walk_area2 = area2
 
+    @property
+    def net(self) -> list[dict[int, int]]:
+        """Per-edge {poly -> winding delta} dicts, built lazily from the
+        flat arrays (only the chain-extraction / ray-cast / cut-line paths
+        still consume dicts)."""
+        if self._net_dicts is None:
+            st = self.net_start
+            self._net_dicts = [
+                {int(p): int(n) for p, n in zip(
+                    self.net_p[st[e]:st[e + 1]], self.net_n[st[e]:st[e + 1]])}
+                for e in range(len(self.edges))
+            ]
+        return self._net_dicts
+
     def walk_coords(self, wid: int) -> np.ndarray:
         hs = self.walks[wid]
         out = np.empty((len(hs), 2), np.int64)
@@ -508,38 +529,41 @@ def label_walks(arr: Arrangement) -> list[dict[int, int]]:
     n_edges = len(arr.edges)
     if n_edges == 0:
         return []
-    # connected components over node ids (union-find)
+    # connected components over node ids: vectorized min-label propagation
+    # with pointer halving — O(log diameter) rounds of whole-array ops
+    # instead of a python union-find loop over every edge.  At the
+    # fixpoint every node's label is its component's MIN node id, which
+    # (node ids being in lexicographic coordinate order) is exactly the
+    # anchor the ray-cast wants.
     n_nodes = len(arr.nodes)
-    parent = list(range(n_nodes))
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
     fe = arr.from_node[0::2]
     te = arr.to_node[0::2]
-    for i in range(n_edges):
-        a, b = find(int(fe[i])), find(int(te[i]))
-        if a != b:
-            parent[a] = b
-    comp_of_edge = np.fromiter((find(int(v)) for v in fe), np.int64, n_edges)
+    lab = np.arange(n_nodes, dtype=np.int64)
+    while True:
+        prev = lab
+        lab = lab.copy()
+        m = np.minimum(lab[fe], lab[te])
+        np.minimum.at(lab, fe, m)
+        np.minimum.at(lab, te, m)
+        lab = np.minimum(lab, lab[lab])  # pointer halving
+        if np.array_equal(lab, prev):
+            break
+    comp_of_edge = lab[fe]
 
-    # anchor node per component: node ids from np.unique are in
-    # lexicographic coordinate order, so the smallest id IS the min node
-    comp_anchor: dict[int, int] = {}
-    for v in range(n_nodes):
-        r = find(v)
-        if r not in comp_anchor:
-            comp_anchor[r] = v
-    comp_edges: dict[int, list[int]] = defaultdict(list)
-    for i in range(n_edges):
-        comp_edges[int(comp_of_edge[i])].append(i)
+    # edge lists per component via one argsort (components keyed by their
+    # min node id, so ascending key order IS ascending anchor order)
+    eorder = np.argsort(comp_of_edge, kind="stable")
+    sorted_comp = comp_of_edge[eorder]
+    comp_breaks = np.nonzero(np.r_[True, sorted_comp[1:] != sorted_comp[:-1]])[0]
+    comp_ends = np.r_[comp_breaks[1:], n_edges]
+    comps_sorted = [int(sorted_comp[s]) for s in comp_breaks]
+    comp_edges = {
+        int(sorted_comp[s]): eorder[s:e]
+        for s, e in zip(comp_breaks, comp_ends)
+    }
+    comp_anchor = {c: c for c in comps_sorted}
 
     winding: list[dict[int, int] | None] = [None] * len(arr.walks)
-
-    comps_sorted = sorted(comp_edges, key=lambda cc: comp_anchor[cc])
     # --- batched anchor ray-casts: ONE chunked vectorized crossing pass for
     # all components instead of a full-edge scan per component (the per-call
     # _ray_winding scan made dissolve buckets with thousands of disjoint
@@ -554,13 +578,10 @@ def label_walks(arr: Arrangement) -> list[dict[int, int]]:
     axy = arr.nodes[anchor_nodes] if len(anchor_nodes) else np.empty((0, 2), np.int64)
     cids = np.asarray(comps_sorted, dtype=comp_of_edge.dtype)
     base_of: dict[int, dict[int, int]] = {}
-    # flattened per-edge net entries (sorted by edge id by construction)
-    net_len = np.fromiter((len(d) for d in arr.net), np.int64, n_edges)
-    net_e = np.repeat(np.arange(n_edges), net_len)
-    total_net = int(net_len.sum())
-    net_p = np.fromiter((p for d in arr.net for p in d), np.int64, total_net)
-    net_n = np.fromiter((n for d in arr.net for n in d.values()), np.int64,
-                        total_net)
+    # flat per-edge net entries (maintained by Arrangement, edge-sorted)
+    net_p, net_n = arr.net_p, arr.net_n
+    net_st = arr.net_start
+    net_len = np.diff(net_st)
     acc_c: list[np.ndarray] = []; acc_p: list[np.ndarray] = []
     acc_v: list[np.ndarray] = []
     CH = 256
@@ -581,7 +602,7 @@ def label_walks(arr: Arrangement) -> list[dict[int, int]]:
             # expand each crossing to its edge's net entries:
             # p is on the RIGHT of an upward edge crossed to its left:
             # w(right) = w(left) - net
-            st = np.searchsorted(net_e, ei, "left")
+            st = net_st[ei]
             cnt = net_len[ei]
             tot = int(cnt.sum())
             if tot:
@@ -610,12 +631,12 @@ def label_walks(arr: Arrangement) -> list[dict[int, int]]:
     # process components in ascending anchor-node order (deterministic)
     for c in comps_sorted:
         base = base_of.get(c, {})
-        walk_ids = sorted(
-            {int(arr.walk_of[2 * i]) for i in comp_edges[c]}
-            | {int(arr.walk_of[2 * i + 1]) for i in comp_edges[c]}
-        )
+        eids = comp_edges[c]
+        walk_ids = np.unique(np.concatenate(
+            [arr.walk_of[2 * eids], arr.walk_of[2 * eids + 1]]))
         # unbounded walk of this component = the one with min signed area
-        root = min(walk_ids, key=lambda wgt: (int(arr.walk_area2[wgt]), wgt))
+        root = int(walk_ids[np.lexsort(
+            (walk_ids, arr.walk_area2[walk_ids]))[0]])
         winding[root] = dict(base)
         stack = [root]
         seen = {root}
@@ -631,11 +652,14 @@ def label_walks(arr: Arrangement) -> list[dict[int, int]]:
                 wv = dict(winding[wcur])
                 # face(h-along-canonical) is LEFT of canonical dir:
                 # w(left) = w(right) + net. h even => face(h)=left side.
-                for p, nn in arr.net[eid].items():
-                    if h % 2 == 0:  # cur face is left; other is right
-                        wv[p] = wv.get(p, 0) - nn
-                    else:           # cur face is right; other is left
-                        wv[p] = wv.get(p, 0) + nn
+                if h % 2 == 0:  # cur face is left; other is right
+                    for t in range(net_st[eid], net_st[eid + 1]):
+                        p = int(net_p[t])
+                        wv[p] = wv.get(p, 0) - int(net_n[t])
+                else:           # cur face is right; other is left
+                    for t in range(net_st[eid], net_st[eid + 1]):
+                        p = int(net_p[t])
+                        wv[p] = wv.get(p, 0) + int(net_n[t])
                 winding[other] = wv
                 stack.append(other)
     return [w if w is not None else {} for w in winding]

@@ -109,6 +109,109 @@ AUTO_SALT_TARGET = 2000   # pieces per partial-union task on the hot key
 AUTO_SALT_MAX = 64
 
 
+def _parse_pieces_batch(geoms: np.ndarray, grid_size: float):
+    """Batch WKB parse+snap for dissolve inputs.  Rows that are one-
+    polygon/one-ring multipolygons (the overwhelming majority of resolve
+    pieces) of equal byte length share an exact layout (coords at offset
+    22), so each length group is parsed with ONE float64 view + vectorized
+    snap; anything else falls back to the generic per-row parser.  Returns
+    per row a list of (snapped_rings, bbox_int64) — one entry per polygon
+    part, in WKB order (identical structure + values to the scalar path)."""
+    n = len(geoms)
+    out: list = [None] * n
+    lens = np.fromiter((len(b) for b in geoms), np.int64, n)
+    for L in np.unique(lens):
+        rem = L - 22
+        if rem < 16 * 3 or rem % 16:
+            continue
+        nv = rem // 16
+        idx = np.nonzero(lens == L)[0]
+        buf = b"".join(geoms[i] for i in idx)
+        a = np.frombuffer(buf, np.uint8).reshape(len(idx), L)
+        hdr = (
+            (a[:, 0] == 1)
+            & (a[:, 1] == 6) & (a[:, 2] == 0) & (a[:, 3] == 0) & (a[:, 4] == 0)
+            & (a[:, 5] == 1) & (a[:, 6] == 0) & (a[:, 7] == 0) & (a[:, 8] == 0)
+            & (a[:, 9] == 1)
+            & (a[:, 10] == 3) & (a[:, 11] == 0) & (a[:, 12] == 0) & (a[:, 13] == 0)
+            & (a[:, 14] == 1) & (a[:, 15] == 0) & (a[:, 16] == 0) & (a[:, 17] == 0)
+            & (a[:, 18] == (nv & 0xFF)) & (a[:, 19] == ((nv >> 8) & 0xFF))
+            & (a[:, 20] == ((nv >> 16) & 0xFF)) & (a[:, 21] == ((nv >> 24) & 0xFF))
+        )
+        ok = np.nonzero(hdr)[0]
+        if not len(ok):
+            continue
+        c = a[ok, 22:].copy().view("<f8").reshape(len(ok), nv, 2)
+        ci = np.floor(c / grid_size + 0.5).astype(np.int64)
+        bb = np.empty((len(ok), 4), np.int64)
+        bb[:, 0] = ci[:, :, 0].min(axis=1)
+        bb[:, 1] = ci[:, :, 1].min(axis=1)
+        bb[:, 2] = ci[:, :, 0].max(axis=1)
+        bb[:, 3] = ci[:, :, 1].max(axis=1)
+        sub = idx[ok]
+        for q in range(len(ok)):
+            out[int(sub[q])] = [([ci[q]], bb[q])]
+    for i in range(n):
+        if out[i] is None:
+            entry = []
+            for rings in wkb.load_polygons(bytes(geoms[i])):
+                ir = [np.floor(np.asarray(r, np.float64) / grid_size + 0.5)
+                      .astype(np.int64) for r in rings]
+                bb = np.array(
+                    (min(r[:, 0].min() for r in ir),
+                     min(r[:, 1].min() for r in ir),
+                     max(r[:, 0].max() for r in ir),
+                     max(r[:, 1].max() for r in ir)), np.int64)
+                entry.append((ir, bb))
+            out[i] = entry
+    return out
+
+
+def _components_by_key(poly_key: np.ndarray, poly_bb: np.ndarray) -> np.ndarray:
+    """Connected components of the bbox-overlap graph WITHIN each key,
+    computed for every key of a bucket at once: in-key candidate pairs by
+    offset arithmetic, closed-interval bbox test, then vectorized
+    min-label propagation.  Same overlap relation (and therefore the same
+    components) as the per-key sweep it replaces.  Returns a label per
+    polygon (min poly index of its component)."""
+    n = len(poly_key)
+    lab = np.arange(n, dtype=np.int64)
+    if n < 2:
+        return lab
+    # keys are contiguous (caller lays polys out key-major)
+    brk = np.nonzero(np.r_[True, poly_key[1:] != poly_key[:-1]])[0]
+    sizes = np.diff(np.r_[brk, n])
+    big = sizes >= 2
+    gs, gk = brk[big], sizes[big]
+    if not len(gs):
+        return lab
+    pc = gk * gk
+    tp = int(pc.sum())
+    wp = np.arange(tp, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(pc)))[:-1], pc)
+    s_r = np.repeat(gs, pc)
+    k_r = np.repeat(gk, pc)
+    ii = s_r + wp // k_r
+    jj = s_r + wp % k_r
+    lt = ii < jj
+    ii, jj = ii[lt], jj[lt]
+    ov = (
+        (poly_bb[ii, 0] <= poly_bb[jj, 2]) & (poly_bb[jj, 0] <= poly_bb[ii, 2])
+        & (poly_bb[ii, 1] <= poly_bb[jj, 3]) & (poly_bb[jj, 1] <= poly_bb[ii, 3])
+    )
+    ii, jj = ii[ov], jj[ov]
+    while len(ii):
+        prev = lab
+        lab = lab.copy()
+        m = np.minimum(lab[ii], lab[jj])
+        np.minimum.at(lab, ii, m)
+        np.minimum.at(lab, jj, m)
+        lab = np.minimum(lab, lab[lab])
+        if np.array_equal(lab, prev):
+            break
+    return lab
+
+
 def _union_bucket_disjoint(keys: np.ndarray, geoms: np.ndarray,
                            starts: np.ndarray, ends: np.ndarray,
                            grid_size: float, with_geom: bool) -> list[tuple]:
@@ -135,31 +238,49 @@ def _union_bucket_disjoint(keys: np.ndarray, geoms: np.ndarray,
         return a2, ([r.astype(np.float64) * grid_size for r in rings]
                     if with_geom else None)
 
-    # phase 1: per key, split bbox-components; singletons resolve locally,
-    # multi-piece components enter the shared arrangement with a dense pid
+    # phase 1: batch-parse every piece, split each key's polygons into
+    # bbox components (all keys at once), then accumulate in EXACTLY the
+    # scalar order — keys ascending, components by first-member index,
+    # members in WKB order — so the float area sums are bit-identical
+    parsed = _parse_pieces_batch(geoms, grid_size)
+    poly_rings: list = []
+    poly_bb_rows: list = []
+    poly_key_rows: list = []
+    key_start: list[int] = []
+    for s, e in zip(starts, ends):
+        key_start.append(len(poly_rings))
+        for r in range(s, e):
+            for rings, bb in parsed[r]:
+                poly_rings.append(rings)
+                poly_bb_rows.append(bb)
+                poly_key_rows.append(s)  # group tag: one per key slice
+    key_start.append(len(poly_rings))
+    poly_bb = (np.stack(poly_bb_rows) if poly_bb_rows
+               else np.empty((0, 4), np.int64))
+    poly_key = np.asarray(poly_key_rows, np.int64)
+    lab = _components_by_key(poly_key, poly_bb)
+
     per_key: dict[int, list] = {}      # key -> [area2, mp, n_parts]
     pid_of: dict[int, int] = {}        # dense pid -> key
     shared_polys: list[tuple[int, list]] = []
     next_pid = 0
-    for s, e in zip(starts, ends):
+    for ki, (s, e) in enumerate(zip(starts, ends)):
         k = int(keys[s])
-        polys = []
-        for b in geoms[s:e]:
-            for rings in wkb.load_polygons(bytes(b)):
-                ir = [np.floor(np.asarray(r, np.float64) / grid_size + 0.5)
-                      .astype(np.int64) for r in rings]
-                polys.append((0, ir))
+        lo, hi = key_start[ki], key_start[ki + 1]
+        comps: dict[int, list[int]] = {}
+        for i in range(lo, hi):
+            comps.setdefault(int(lab[i]), []).append(i)
         acc = per_key.setdefault(k, [0.0, [], 0])
-        for members in _bbox_components(polys):
+        for members in comps.values():
             if len(members) == 1:
-                a2, rings_f = single_part(polys[members[0]][1])
+                a2, rings_f = single_part(poly_rings[members[0]])
                 acc[0] += a2
                 if with_geom:
                     acc[1].append(rings_f)
                 acc[2] += 1
             else:
                 for i in members:
-                    shared_polys.append((next_pid, polys[i][1]))
+                    shared_polys.append((next_pid, poly_rings[i]))
                 pid_of[next_pid] = k
                 next_pid += 1
     # phase 2: one arrangement over every multi-piece component

@@ -64,11 +64,48 @@ BOUNDS_SCHEMA = T.StructType(
 
 @F.pandas_udf(BOUNDS_SCHEMA)
 def wkb_bounds(geoms: pd.Series) -> pd.DataFrame:
-    """Arrow-batched bounds of WKB geometries (numpy per batch)."""
-    out = np.empty((len(geoms), 4), dtype=np.float64)
-    for i, b in enumerate(geoms):
-        allc = wkb.load_coords(bytes(b))
-        out[i] = (allc[:, 0].min(), allc[:, 1].min(), allc[:, 0].max(), allc[:, 1].max())
+    """Arrow-batched bounds of WKB geometries.
+
+    Single-ring little-endian polygons of equal byte length share an exact
+    byte layout (coords at offset 13, stride 16), so the batch is grouped
+    by blob length and each group's bounds come from ONE vectorized
+    min/max over a (rows x verts) float64 view — no per-row parsing.
+    Anything else (multipolygons, multi-ring, other types) falls back to
+    the generic per-row parser; results are bit-identical either way."""
+    n = len(geoms)
+    out = np.empty((n, 4), dtype=np.float64)
+    done = np.zeros(n, dtype=bool)
+    lens = np.fromiter((len(b) for b in geoms), np.int64, n)
+    vals = geoms.to_numpy(dtype=object)
+    for L in np.unique(lens):
+        rem = L - 13
+        if rem < 16 * 3 or rem % 16:
+            continue
+        nv = rem // 16
+        idx = np.nonzero(lens == L)[0]
+        buf = b"".join(vals[i] for i in idx)
+        a = np.frombuffer(buf, np.uint8).reshape(len(idx), L)
+        hdr = (
+            (a[:, 0] == 1)
+            & (a[:, 1] == 3) & (a[:, 2] == 0) & (a[:, 3] == 0) & (a[:, 4] == 0)
+            & (a[:, 5] == 1) & (a[:, 6] == 0) & (a[:, 7] == 0) & (a[:, 8] == 0)
+            & (a[:, 9] == (nv & 0xFF)) & (a[:, 10] == ((nv >> 8) & 0xFF))
+            & (a[:, 11] == ((nv >> 16) & 0xFF)) & (a[:, 12] == ((nv >> 24) & 0xFF))
+        )
+        ok = np.nonzero(hdr)[0]
+        if not len(ok):
+            continue
+        c = a[ok, 13:].copy().view("<f8").reshape(len(ok), nv, 2)
+        sub = idx[ok]
+        out[sub, 0] = c[:, :, 0].min(axis=1)
+        out[sub, 1] = c[:, :, 1].min(axis=1)
+        out[sub, 2] = c[:, :, 0].max(axis=1)
+        out[sub, 3] = c[:, :, 1].max(axis=1)
+        done[sub] = True
+    for i in np.nonzero(~done)[0]:
+        allc = wkb.load_coords(bytes(vals[i]))
+        out[i] = (allc[:, 0].min(), allc[:, 1].min(),
+                  allc[:, 0].max(), allc[:, 1].max())
     return pd.DataFrame(out, columns=["xmin", "ymin", "xmax", "ymax"])
 
 
@@ -101,6 +138,19 @@ def _snap_polys(fid: int, geom: bytes, g: float) -> list[tuple[int, list[np.ndar
 def _clip_to_cell(rings: list[np.ndarray], cxmin, cymin, cxmax, cymax) -> list[np.ndarray]:
     out = []
     for r in rings:
+        # fast path: ring entirely inside the (closed) cell box — the
+        # Sutherland-Hodgman clip keeps every vertex and adds none, so its
+        # output is exactly the open ring; skip the float round-trip
+        # (most features touch one cell at the density-derived res)
+        rr = r
+        if len(rr) > 1 and rr[0, 0] == rr[-1, 0] and rr[0, 1] == rr[-1, 1]:
+            rr = rr[:-1]
+        x = rr[:, 0]; y = rr[:, 1]
+        if (x.min() >= cxmin and x.max() <= cxmax
+                and y.min() >= cymin and y.max() <= cymax):
+            if len(rr) >= 3 and ring_area2(rr.astype(np.float64)) != 0:
+                out.append(rr)
+            continue
         c = clip_ring_to_box(r.astype(np.float64), cxmin, cymin, cxmax, cymax)
         if len(c) >= 3 and ring_area2(c) != 0:
             out.append(np.floor(c + 0.5).astype(np.int64))

@@ -64,6 +64,44 @@ def with_point(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _ngon_footprint_kernel(pid: pd.Series, px: pd.Series, py: pd.Series,
+                           scale: float) -> pd.Series:
+    """Vectorized irregular-ngon WKB builder — grouped by vertex count
+    (4 groups): the ring math runs as (rows x verts) matrices and the WKB
+    bytes are a constant per-group header + each row's coord bytes.
+    Elementwise-identical doubles, byte-identical WKB to the r5 per-row
+    dump (pinned by tests/test_ngon_vectorized.py)."""
+    ids = pid.to_numpy(dtype=np.int64)
+    xs = px.to_numpy(dtype=np.float64)
+    ys = py.to_numpy(dtype=np.float64)
+    h = (ids * np.int64(2654435761)) & np.int64(0xFFFFFFFF)
+    nv = 5 + (h % 4)                       # 5..8 vertices
+    rad = (0.05 + (h % 5000) / 10000.0) * scale
+    out = np.empty(len(ids), dtype=object)
+    for n in (5, 6, 7, 8):
+        idx = np.nonzero(nv == n)[0]
+        if not len(idx):
+            continue
+        k = np.arange(n, dtype=np.int64)[None, :]
+        mix = ((ids[idx][:, None] * np.int64(40503)
+                + k * np.int64(2654435761))
+               & np.int64(0xFFFFFFFF)).astype(np.float64) / 4294967296.0
+        ang = 2.0 * np.pi * (k + mix * 0.5) / np.int64(n)
+        rr = rad[idx][:, None] * (0.7 + 0.6 * mix)
+        X = xs[idx][:, None] + rr * np.cos(ang)
+        Y = ys[idx][:, None] + rr * np.sin(ang)
+        coords = np.empty((len(idx), n + 1, 2), dtype="<f8")
+        coords[:, :n, 0] = X
+        coords[:, :n, 1] = Y
+        coords[:, n, 0] = X[:, 0]          # close the ring
+        coords[:, n, 1] = Y[:, 0]
+        hdr = (_wkb._HDR.pack(1, _wkb.POLYGON) + _wkb._U32.pack(1)
+               + _wkb._U32.pack(n + 1))
+        for q, i in enumerate(idx):
+            out[i] = hdr + coords[q].tobytes()
+    return pd.Series(list(out))
+
+
 def with_ngon_footprint(df: DataFrame, scale: float = 1.0,
                         id_col: str = "pid") -> DataFrame:
     """Derive an irregular convex n-gon footprint (WKB Polygon) around each
@@ -72,22 +110,7 @@ def with_ngon_footprint(df: DataFrame, scale: float = 1.0,
     state, no per-row Spark Python)."""
     @F.pandas_udf(T.BinaryType())
     def ngon(pid: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
-        ids = pid.to_numpy(dtype=np.int64)
-        xs = px.to_numpy(dtype=np.float64)
-        ys = py.to_numpy(dtype=np.float64)
-        h = (ids * np.int64(2654435761)) & np.int64(0xFFFFFFFF)
-        nv = 5 + (h % 4)                       # 5..8 vertices
-        rad = (0.05 + (h % 5000) / 10000.0) * scale
-        out = []
-        for i in range(len(ids)):
-            k = np.arange(nv[i])
-            mix = ((ids[i] * np.int64(40503) + k * np.int64(2654435761))
-                   & np.int64(0xFFFFFFFF)).astype(np.float64) / 4294967296.0
-            ang = 2.0 * np.pi * (k + mix * 0.5) / nv[i]
-            rr = rad[i] * (0.7 + 0.6 * mix)
-            ring = np.stack([xs[i] + rr * np.cos(ang), ys[i] + rr * np.sin(ang)], axis=1)
-            out.append(_wkb.dump_polygon([ring]))
-        return pd.Series(out)
+        return _ngon_footprint_kernel(pid, px, py, scale)
 
     return df.withColumn("geom", ngon(F.col(id_col), F.col("px"), F.col("py")))
 
@@ -106,28 +129,43 @@ def with_regular_ngon(df: DataFrame, k: int = 8, scale: float = 1.0,
     """Regular convex k-gon WKB footprint from the derive.regular_ngon
     formula — numpy mirror of the SQL so oracle vertices match exactly.
     Needs derived px/py columns (with_point / derive.point_select)."""
+    from resolve_overlap_and_gap_spark import derive
+
     @F.pandas_udf(T.BinaryType())
-    def ngon(pid: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
-        import hashlib
+    def ngon(px: pd.Series, py: pd.Series, hw: pd.Series,
+             hrot: pd.Series) -> pd.Series:
+        return _regular_ngon_kernel(px, py, hw, hrot, k, scale)
 
-        ids = pid.to_numpy(dtype=np.int64)
-        xs = px.to_numpy(dtype=np.float64)
-        ys = py.to_numpy(dtype=np.float64)
-        # h32(key, salt) mirrors derive.h32 (md5 prefix of "<key><salt>")
-        def h32(i: int, salt: str) -> int:
-            return int(hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:8], 16)
+    hw_sql = derive.h32(f"cast({id_col} as string)", ":w", derive.SPARK)
+    hr_sql = derive.h32(f"cast({id_col} as string)", ":rot", derive.SPARK)
+    return df.withColumn(
+        "geom", ngon(F.col("px"), F.col("py"),
+                     F.expr(hw_sql), F.expr(hr_sql)))
 
-        ang0 = 2.0 * np.pi * np.arange(k) / k
-        out = []
-        for j in range(len(ids)):
-            r = (0.05 + (h32(ids[j], ":w") % 5000) / 10000.0) * scale
-            ph = (h32(ids[j], ":rot") % 6283) / 1000.0
-            a = ph + ang0
-            ring = np.stack([xs[j] + r * np.cos(a), ys[j] + r * np.sin(a)], axis=1)
-            out.append(_wkb.dump_polygon([ring]))
-        return pd.Series(out)
 
-    return df.withColumn("geom", ngon(F.col(id_col), F.col("px"), F.col("py")))
+def _regular_ngon_kernel(px: pd.Series, py: pd.Series, hw: pd.Series,
+                         hrot: pd.Series, k: int, scale: float) -> pd.Series:
+    """Vectorized regular-kgon WKB builder.  h32 arrives precomputed as
+    JVM md5 columns (identical ints to the former per-row hashlib loop);
+    the ring math is one (rows x k) matrix pass and the WKB bytes are a
+    constant header + each row's coord bytes — byte-identical to the
+    per-row dump (pinned by tests/test_ngon_vectorized.py)."""
+    xs = px.to_numpy(dtype=np.float64)
+    ys = py.to_numpy(dtype=np.float64)
+    r = (0.05 + (hw.to_numpy(np.int64) % 5000) / 10000.0) * scale
+    ph = (hrot.to_numpy(np.int64) % 6283) / 1000.0
+    ang0 = 2.0 * np.pi * np.arange(k) / k
+    a = ph[:, None] + ang0[None, :]
+    X = xs[:, None] + r[:, None] * np.cos(a)
+    Y = ys[:, None] + r[:, None] * np.sin(a)
+    coords = np.empty((len(xs), k + 1, 2), dtype="<f8")
+    coords[:, :k, 0] = X
+    coords[:, :k, 1] = Y
+    coords[:, k, 0] = X[:, 0]              # close the ring
+    coords[:, k, 1] = Y[:, 0]
+    hdr = (_wkb._HDR.pack(1, _wkb.POLYGON) + _wkb._U32.pack(1)
+           + _wkb._U32.pack(k + 1))
+    return pd.Series([hdr + coords[q].tobytes() for q in range(len(xs))])
 
 
 def with_box_wkb(df: DataFrame) -> DataFrame:
