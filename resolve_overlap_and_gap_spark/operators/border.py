@@ -80,6 +80,11 @@ MERGE_SCHEMA = T.StructType([
 
 _ZMASK = (1 << grid.RES_SHIFT) - 1
 
+# border-gap inputs at or under this many rows reassemble at the root in a
+# single round (the multi-level pre-merge only pays off when the per-round
+# shuffles carry real mass); larger inputs keep the level-jump cascade
+ROOT_JUMP_MAX_ROWS = 200_000
+
 
 # ---------------------------------------------------------- kill intervals
 def pack_intervals(iv) -> bytes:
@@ -313,10 +318,19 @@ def reassemble_border_gaps(border_gaps: DataFrame, cfg: EngineConfig,
     if "kind" not in border_gaps.columns:
         border_gaps = border_gaps.withColumn("kind", F.lit("live"))
     pending = border_gaps.select("cell_id", "kind", "geom").localCheckpoint()
-    b = pending.agg(F.max(res_col).alias("hi"), F.min(res_col).alias("lo")).collect()[0]
+    b = pending.agg(F.max(res_col).alias("hi"), F.min(res_col).alias("lo"),
+                    F.count("*").alias("n")).collect()[0]
     if b["hi"] is None:
         return empty
     lmax, lmin = int(b["hi"]), int(b["lo"])
+    # bounded gap mass: group everything at the root in ONE round instead
+    # of ceil(res/level_jump) rounds — each round is a fixed-latency
+    # shuffle + kernel + checkpoint, and at this size the root kernel sees
+    # the same rows the last round would anyway.  The SAME count that
+    # derived the level bounds gates it, so big inputs (100 TB border
+    # mass) keep the multi-round pre-merge untouched.
+    if int(b["n"]) <= ROOT_JUMP_MAX_ROWS:
+        level_jump = max(level_jump, lmax)
     sliver_parts: list[DataFrame] = []
 
     while True:

@@ -30,6 +30,11 @@ from pyspark.sql import functions as F
 # fixed-latency join rounds; larger graphs use the distributed loop
 DRIVER_CC_MAX_EDGES = 200_000
 
+# node->rep maps at or under this many rows join as broadcasts (~16 B/row,
+# <= ~32 MB built), keeping the heavy edge table un-shuffled through the
+# contraction; larger maps fall back to shuffle joins
+BROADCAST_REP_MAX_NODES = 2_000_000
+
 
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 20,
@@ -70,9 +75,16 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # and the contracted-graph distinct below runs on the tiny edge set —
     # skipping it saves a full shuffle of the heavy pair table
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    rep = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+    rep0 = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
         F.col("u").alias("id"), F.least(F.col("u"), F.col("mn")).alias("rep")
-    )
+    ).localCheckpoint()
+    # the node map is one row per node — when it fits a broadcast (gated
+    # by an explicit row bound; one cheap count on the checkpoint), the
+    # pointer-jump self-join and BOTH contraction projection joins run as
+    # broadcast-hash joins, so the heavy edge table is never shuffled by
+    # them (guide §3.1).  Above the bound the shuffle joins run unchanged.
+    n_nodes = rep0.count()
+    small_map = n_nodes <= BROADCAST_REP_MAX_NODES
     # one pointer jump on the rep map itself (rep <- rep[rep]) BEFORE
     # contracting: on near-clique dedup graphs most nodes reach the clique
     # min here, so the contracted edge set shrinks toward empty and the
@@ -80,8 +92,10 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # in u's component and monotonically non-increasing, and a component's
     # min node is always its own rep, so the contraction-validity argument
     # above is unchanged with rep2 in place of rep.
-    rmap = rep.select(F.col("id").alias("_rid"), F.col("rep").alias("_rrep"))
-    rep = rep.join(rmap, rep["rep"] == rmap["_rid"], "left").select(
+    rmap = rep0.select(F.col("id").alias("_rid"), F.col("rep").alias("_rrep"))
+    if small_map:
+        rmap = F.broadcast(rmap)
+    rep = rep0.join(rmap, rep0["rep"] == rmap["_rid"], "left").select(
         "id", F.coalesce("_rrep", "rep").alias("rep")
     ).localCheckpoint()
     # contract over the UN-symmetrized edges (half the join rows — the
@@ -89,9 +103,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # canonical distinct + final symmetrization regenerate anyway), dedup
     # in canonical (min, max) orientation so the distinct shuffles half
     # the rows, then symmetrize the tiny result
+    rp_u = rep.select(F.col("id").alias("u"), F.col("rep").alias("ru"))
+    rp_v = rep.select(F.col("id").alias("v"), F.col("rep").alias("rv"))
+    if small_map:
+        rp_u = F.broadcast(rp_u)
+        rp_v = F.broadcast(rp_v)
     ce = (
-        e.join(rep.select(F.col("id").alias("u"), F.col("rep").alias("ru")), "u")
-        .join(rep.select(F.col("id").alias("v"), F.col("rep").alias("rv")), "v")
+        e.join(rp_u, "u")
+        .join(rp_v, "v")
         .where(F.col("ru") != F.col("rv"))
         .select(F.least("ru", "rv").alias("u"), F.greatest("ru", "rv").alias("v"))
         .distinct()
