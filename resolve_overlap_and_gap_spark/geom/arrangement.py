@@ -178,6 +178,15 @@ class NodingError(RuntimeError):
         self.pids = pids
 
 
+class NodingErrorCells(RuntimeError):
+    """Cell-tagged variant of NodingError: carries (cell_index, pid) pairs
+    of the still-interacting segments of a batched multi-cell noding."""
+
+    def __init__(self, pairs: list[tuple[int, int]]):
+        super().__init__(f"noding did not converge; offending (cell, pid): {pairs}")
+        self.pairs = pairs
+
+
 def node_segments(S: np.ndarray, pid: np.ndarray, wt: np.ndarray, max_iter: int = 8):
     """Split segments at crossings/touches until fixpoint (snapped noding).
     Intersection points are rounded to the integer grid (the snap), so a
@@ -189,14 +198,29 @@ def node_segments(S: np.ndarray, pid: np.ndarray, wt: np.ndarray, max_iter: int 
     for proper crossings, endpoint touches and collinear overlaps alike,
     and the segment rebuild is a grouped scatter — no per-pair or per-
     segment python loops (guide §4.2)."""
+    S, pid, wt, _ = _node_segments_impl(S, pid, wt, None, max_iter)
+    return S, pid, wt
+
+
+def _node_segments_impl(S: np.ndarray, pid: np.ndarray, wt: np.ndarray,
+                        cell: np.ndarray | None, max_iter: int = 8):
+    """node_segments with an optional per-segment CELL tag: candidate pairs
+    are restricted to equal cells, so independent cells node in ONE batched
+    pass with results identical to per-cell runs (coordinates untouched —
+    no translation, no float differences)."""
     S = np.asarray(S, dtype=np.int64).reshape(-1, 4)
     pid = np.asarray(pid, dtype=np.int64)
     wt = np.asarray(wt, dtype=np.int64)
+    if cell is not None:
+        cell = np.asarray(cell, dtype=np.int64)
     for it in range(max_iter + 1):
         m = len(S)
         if m == 0:
             break
         I, J = _bbox_pairs(S)
+        if cell is not None and len(I):
+            scm = cell[I] == cell[J]
+            I, J = I[scm], J[scm]
         # event arrays: split segment index + split point
         ev_s: list[np.ndarray] = []
         ev_x: list[np.ndarray] = []
@@ -301,7 +325,12 @@ def node_segments(S: np.ndarray, pid: np.ndarray, wt: np.ndarray, max_iter: int 
         ex = np.concatenate(ev_x)
         ey = np.concatenate(ev_y)
         if it == max_iter:
-            raise NodingError(sorted({int(p) for p in pid[np.unique(seg)]}))
+            bad = np.unique(seg)
+            if cell is not None:
+                raise NodingErrorCells(
+                    sorted({(int(c), int(p))
+                            for c, p in zip(cell[bad], pid[bad])}))
+            raise NodingError(sorted({int(p) for p in pid[bad]}))
         # dedup events and order within each segment by L1 distance from
         # the segment start (ties by coordinate — deterministic)
         dist = np.abs(ex - S[seg, 0]) + np.abs(ey - S[seg, 1])
@@ -333,10 +362,13 @@ def node_segments(S: np.ndarray, pid: np.ndarray, wt: np.ndarray, max_iter: int 
         bw = np.repeat(wt[split_ids], rows)[keep_row]
         unsplit = np.ones(m, dtype=bool)
         unsplit[split_ids] = False
+        if cell is not None:
+            bc = np.repeat(cell[split_ids], rows)[keep_row]
+            cell = np.concatenate([cell[unsplit], bc])
         S = np.concatenate([S[unsplit], built])
         pid = np.concatenate([pid[unsplit], bp])
         wt = np.concatenate([wt[unsplit], bw])
-    return S, pid, wt
+    return S, pid, wt, cell
 
 
 # ------------------------------------------------------------ half-edge DCEL
@@ -354,13 +386,20 @@ class Face:
 
 
 class Arrangement:
-    def __init__(self, S, pid, wt):
+    def __init__(self, S, pid, wt, cell=None):
         """Array-based DCEL: dedup, angular sort, next-pointers, walks and
         areas are all numpy; only walk chasing and the per-(edge,poly) net
-        dict remain python loops (O(E))."""
+        dict remain python loops (O(E)).
+
+        cell: optional per-segment tag for BATCHED independent cells (one
+        arrangement pass over many cells): edge identity, node identity and
+        therefore walks/components are keyed by (cell, ...) so cells never
+        interact; results per cell equal a per-cell Arrangement."""
         S = np.asarray(S, dtype=np.int64).reshape(-1, 4)
         pid = np.asarray(pid, dtype=np.int64)
         wt = np.asarray(wt, dtype=np.int64)
+        if cell is not None:
+            cell = np.asarray(cell, dtype=np.int64)
 
         # --- canonicalize direction (lexicographic endpoint order)
         flip = (S[:, 0] > S[:, 2]) | ((S[:, 0] == S[:, 2]) & (S[:, 1] > S[:, 3]))
@@ -370,11 +409,17 @@ class Arrangement:
 
         # --- aggregate winding deltas per (edge, poly) via lexsort+reduce
         if len(C):
-            order = np.lexsort((pid, C[:, 3], C[:, 2], C[:, 1], C[:, 0]))
+            keys = [pid, C[:, 3], C[:, 2], C[:, 1], C[:, 0]]
+            if cell is not None:
+                keys.append(cell)        # cell outermost
+            order = np.lexsort(tuple(keys))
             Cs, Ps, Gs = C[order], pid[order], sgn[order]
+            CellS = cell[order] if cell is not None else None
             newkey = np.ones(len(Cs), dtype=bool)
             if len(Cs) > 1:
                 same = (Cs[1:] == Cs[:-1]).all(axis=1) & (Ps[1:] == Ps[:-1])
+                if CellS is not None:
+                    same &= CellS[1:] == CellS[:-1]
                 newkey[1:] = ~same
             grp = np.cumsum(newkey) - 1
             sums = np.zeros(int(grp[-1]) + 1, dtype=np.int64)
@@ -386,17 +431,23 @@ class Arrangement:
             # types_resolve_overlap.sql:1-7, ar5 scenario)
             keep = (sums != 0) | (Ps[starts] <= CUT_LINE_BASE)
             Ek, Pk, Wk = Cs[starts][keep], Ps[starts][keep], sums[keep]
+            CellK = CellS[starts][keep] if CellS is not None else None
         else:
             Ek = np.empty((0, 4), np.int64)
             Pk = Wk = np.empty(0, np.int64)
+            CellK = np.empty(0, np.int64) if cell is not None else None
 
         # --- collapse to unique edges; net dicts per edge
         echange = np.ones(len(Ek), dtype=bool)
         if len(Ek) > 1:
             echange[1:] = ~(Ek[1:] == Ek[:-1]).all(axis=1)
+            if CellK is not None:
+                echange[1:] |= CellK[1:] != CellK[:-1]
         eidx = np.cumsum(echange) - 1 if len(Ek) else np.empty(0, np.int64)
         E = Ek[echange] if len(Ek) else Ek
         self.edges = E  # (n_e, 4) int64, canonical direction
+        self.edge_cell = (CellK[echange] if CellK is not None and len(Ek)
+                          else (CellK if CellK is not None else None))
         # flat per-edge net entries, sorted by edge id (eidx nondecreasing):
         # net_p/net_n[net_start[e]:net_start[e+1]] are edge e's
         # (poly -> winding delta) pairs.  A list-of-dicts view is built
@@ -417,13 +468,31 @@ class Arrangement:
             fx[1::2], fy[1::2], tx[1::2], ty[1::2] = E[:, 2], E[:, 3], E[:, 0], E[:, 1]
         self._fx, self._fy, self._tx, self._ty = fx, fy, tx, ty
 
-        # --- node ids
-        pts = np.stack([np.concatenate([fx, tx]), np.concatenate([fy, ty])], axis=1)
+        # --- node ids (cell-tagged: identity is (cell, x, y), and node ids
+        # stay lexicographic per cell — the anchor property label_walks
+        # relies on holds within each cell)
+        if self.edge_cell is not None:
+            hc = np.empty(2 * n_e, np.int64)
+            if n_e:
+                hc[0::2] = self.edge_cell
+                hc[1::2] = self.edge_cell
+            pts = np.stack([np.concatenate([hc, hc]),
+                            np.concatenate([fx, tx]),
+                            np.concatenate([fy, ty])], axis=1)
+        else:
+            pts = np.stack([np.concatenate([fx, tx]),
+                            np.concatenate([fy, ty])], axis=1)
         if len(pts):
             uniq, inv = np.unique(pts, axis=0, return_inverse=True)
         else:
-            uniq = np.empty((0, 2), np.int64); inv = np.empty(0, np.int64)
-        self.nodes = uniq
+            uniq = np.empty((0, pts.shape[1]), np.int64)
+            inv = np.empty(0, np.int64)
+        if self.edge_cell is not None:
+            self.node_cell = uniq[:, 0]
+            self.nodes = uniq[:, 1:3]
+        else:
+            self.node_cell = None
+            self.nodes = uniq
         from_node = inv[: 2 * n_e]
         to_node = inv[2 * n_e:]
         self.from_node, self.to_node = from_node, to_node
@@ -529,6 +598,11 @@ def label_walks(arr: Arrangement) -> list[dict[int, int]]:
     n_edges = len(arr.edges)
     if n_edges == 0:
         return []
+    if n_edges <= 192 and getattr(arr, "node_cell", None) is None:
+        # tiny arrangements (per-component unions inside the generic
+        # dissolve run thousands of them): the whole-array machinery's
+        # fixed cost exceeds the scalar loop here — identical results
+        return _label_walks_small(arr)
     # connected components over node ids: vectorized min-label propagation
     # with pointer halving — O(log diameter) rounds of whole-array ops
     # instead of a python union-find loop over every edge.  At the
@@ -584,6 +658,11 @@ def label_walks(arr: Arrangement) -> list[dict[int, int]]:
     net_len = np.diff(net_st)
     acc_c: list[np.ndarray] = []; acc_p: list[np.ndarray] = []
     acc_v: list[np.ndarray] = []
+    # cell-tagged arrangements: an anchor's ray may only cross edges of its
+    # OWN cell (cells are independent; a per-cell run would see no others)
+    acell = (arr.node_cell[anchor_nodes]
+             if getattr(arr, "node_cell", None) is not None and len(anchor_nodes)
+             else None)
     CH = 256
     for i0 in range(0, len(cids), CH):
         py = axy[i0:i0 + CH, 1][:, None]
@@ -591,6 +670,8 @@ def label_walks(arr: Arrangement) -> list[dict[int, int]]:
         # cross-multiplied predicate is evaluated only on surviving pairs
         m = (elo[None, :] <= py) & (py < ehi[None, :])
         m &= comp_of_edge[None, :] != cids[i0:i0 + CH][:, None]
+        if acell is not None:
+            m &= arr.edge_cell[None, :] == acell[i0:i0 + CH][:, None]
         ai, ei = np.nonzero(m)
         if len(ai):
             pxs = axy[i0 + ai, 0]; pys = axy[i0 + ai, 1]
@@ -657,6 +738,73 @@ def label_walks(arr: Arrangement) -> list[dict[int, int]]:
                         p = int(net_p[t])
                         wv[p] = wv.get(p, 0) - int(net_n[t])
                 else:           # cur face is right; other is left
+                    for t in range(net_st[eid], net_st[eid + 1]):
+                        p = int(net_p[t])
+                        wv[p] = wv.get(p, 0) + int(net_n[t])
+                winding[other] = wv
+                stack.append(other)
+    return [w if w is not None else {} for w in winding]
+
+
+def _label_walks_small(arr: Arrangement) -> list[dict[int, int]]:
+    """Scalar label_walks for tiny arrangements (the r5 implementation:
+    python union-find + per-component _ray_winding + BFS)."""
+    n_edges = len(arr.edges)
+    n_nodes = len(arr.nodes)
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    fe = arr.from_node[0::2]
+    te = arr.to_node[0::2]
+    for i in range(n_edges):
+        a, b = find(int(fe[i])), find(int(te[i]))
+        if a != b:
+            parent[a] = b
+    comp_of_edge = np.fromiter((find(int(v)) for v in fe), np.int64, n_edges)
+    comp_anchor: dict[int, int] = {}
+    for v in range(n_nodes):
+        r = find(v)
+        if r not in comp_anchor:
+            comp_anchor[r] = v
+    comp_edges: dict[int, list[int]] = defaultdict(list)
+    for i in range(n_edges):
+        comp_edges[int(comp_of_edge[i])].append(i)
+
+    winding: list[dict[int, int] | None] = [None] * len(arr.walks)
+    net_p, net_n = arr.net_p, arr.net_n
+    net_st = arr.net_start
+    for c in sorted(comp_edges, key=lambda cc: comp_anchor[cc]):
+        px, py = (int(t) for t in arr.nodes[comp_anchor[c]])
+        base = _ray_winding(px, py, arr, component_of=comp_of_edge, skip_comp=c)
+        walk_ids = sorted(
+            {int(arr.walk_of[2 * i]) for i in comp_edges[c]}
+            | {int(arr.walk_of[2 * i + 1]) for i in comp_edges[c]}
+        )
+        root = min(walk_ids, key=lambda wgt: (int(arr.walk_area2[wgt]), wgt))
+        winding[root] = dict(base)
+        stack = [root]
+        seen = {root}
+        while stack:
+            wcur = stack.pop()
+            for h in arr.walks[wcur]:
+                h = int(h)
+                eid = h // 2
+                other = int(arr.walk_of[h ^ 1])
+                if other in seen:
+                    continue
+                seen.add(other)
+                wv = dict(winding[wcur])
+                # w(left) = w(right) + net; h even => face(h) = left side
+                if h % 2 == 0:
+                    for t in range(net_st[eid], net_st[eid + 1]):
+                        p = int(net_p[t])
+                        wv[p] = wv.get(p, 0) - int(net_n[t])
+                else:
                     for t in range(net_st[eid], net_st[eid + 1]):
                         p = int(net_p[t])
                         wv[p] = wv.get(p, 0) + int(net_n[t])
@@ -1038,10 +1186,36 @@ def overlay(polys: list[tuple[int, list[np.ndarray]]],
                 return ([], {}) if with_adjacency else []
     arr = Arrangement(S, pid, wt)
     winding = label_walks(arr)
+    face_list, walk_face, adj = _assemble_faces(
+        arr, winding, range(len(arr.walks)), range(len(arr.edges)),
+        with_adjacency)
+    if cut_lines:
+        per_face_lines: dict[int, set[int]] = defaultdict(set)
+        for eid, net in enumerate(arr.net):
+            lids = [CUT_LINE_BASE - p for p in net if p <= CUT_LINE_BASE]
+            if not lids:
+                continue
+            for h in (2 * eid, 2 * eid + 1):
+                fidx = walk_face.get(arr.walk_of[h], -1)
+                if fidx >= 0:
+                    per_face_lines[fidx].update(lids)
+        for fidx, lids in per_face_lines.items():
+            face_list[fidx].lines = sorted(lids)
+    if not with_adjacency:
+        return face_list
+    return face_list, adj
 
-    pos = [i for i, a in enumerate(arr.walk_area2) if a > 0]
-    neg = [i for i, a in enumerate(arr.walk_area2) if a < 0]
-    faces = {i: Face(shell=arr.walk_coords(i), winding=winding[i], area2=arr.walk_area2[i]) for i in pos}
+
+def _assemble_faces(arr: Arrangement, winding, walk_ids, eids,
+                    with_adjacency: bool):
+    """Face assembly over a subset of walks/edges — the whole arrangement
+    (overlay) or one cell of a batched arrangement (overlay_cells).  Walk
+    and edge ids must come in ascending order; every float accumulation
+    and tie-break below matches the historical overlay() tail verbatim."""
+    pos = [i for i in walk_ids if arr.walk_area2[i] > 0]
+    neg = [i for i in walk_ids if arr.walk_area2[i] < 0]
+    faces = {i: Face(shell=arr.walk_coords(i), winding=winding[i],
+                     area2=arr.walk_area2[i]) for i in pos}
 
     # assign negative walks as holes of the smallest containing positive walk
     pos_sorted = sorted(pos, key=lambda i: arr.walk_area2[i])
@@ -1073,8 +1247,6 @@ def overlay(polys: list[tuple[int, list[np.ndarray]]],
                 hole_owner[h] = i
                 break
     face_list = list(faces.values())
-    if not with_adjacency and not cut_lines:
-        return face_list
 
     # face index per walk: positive walks map to themselves; hole walks to
     # their assigned shell's face; unassigned (outer) walks to -1
@@ -1084,27 +1256,91 @@ def overlay(polys: list[tuple[int, list[np.ndarray]]],
         walk_face[wid] = order[wid]
     for h, i in hole_owner.items():
         walk_face[h] = order[i]
-    if cut_lines:
-        per_face_lines: dict[int, set[int]] = defaultdict(set)
-        for eid, net in enumerate(arr.net):
-            lids = [CUT_LINE_BASE - p for p in net if p <= CUT_LINE_BASE]
-            if not lids:
-                continue
-            for h in (2 * eid, 2 * eid + 1):
-                fidx = walk_face.get(arr.walk_of[h], -1)
-                if fidx >= 0:
-                    per_face_lines[fidx].update(lids)
-        for fidx, lids in per_face_lines.items():
-            face_list[fidx].lines = sorted(lids)
     if not with_adjacency:
-        return face_list
+        return face_list, walk_face, None
     adj: dict[tuple[int, int], float] = {}
-    for eid, (x1, y1, x2, y2) in enumerate(arr.edges):
+    E = arr.edges
+    for eid in eids:
         fa = walk_face.get(arr.walk_of[2 * eid], -1)
         fb = walk_face.get(arr.walk_of[2 * eid + 1], -1)
         if fa == fb:
             continue
         key = (fa, fb) if fa < fb else (fb, fa)
+        x1, y1, x2, y2 = E[eid]
         L = float(np.hypot(x2 - x1, y2 - y1))
         adj[key] = adj.get(key, 0.0) + L
-    return face_list, adj
+    return face_list, walk_face, adj
+
+
+def overlay_cells(items: list[tuple[int, list[tuple[int, list[np.ndarray]]]]],
+                  with_adjacency: bool = False,
+                  noding_max_iter: int = 8,
+                  quarantine_of: dict | None = None) -> dict:
+    """Batched overlay of INDEPENDENT cells: {key: faces} (or
+    {key: (faces, adj)}) computed in ONE noding/DCEL/labeling pass over all
+    cells of a kernel bucket instead of one full machinery invocation per
+    cell — the multi_union_faces batching idea applied to the per-cell
+    resolve/detect overlays.
+
+    EXACTNESS: coordinates are untouched (no translation); every phase is
+    keyed by the cell tag (candidate pairs, edge and node identity, face
+    walks, component ray-casts), so per-cell results are identical to
+    overlay(polys, ...) run cell by cell — including float accumulation
+    orders (pinned by tests/test_overlay_cells.py).
+
+    quarantine_of: dict to receive {key: [pids]} whose noding failed
+    (the reference's _no_cut_line_failed path), matching overlay()'s
+    per-cell quarantine semantics."""
+    empty = ([], {}) if with_adjacency else []
+    out = {key: empty for key, _ in items}
+    Ss, Ps, Ws, Cs = [], [], [], []
+    for ci, (key, polys) in enumerate(items):
+        S, P, W = rings_to_segments(polys)
+        if len(S):
+            Ss.append(S); Ps.append(P); Ws.append(W)
+            Cs.append(np.full(len(S), ci, np.int64))
+    if not Ss:
+        return out
+    S = np.vstack(Ss)
+    P = np.concatenate(Ps)
+    W = np.concatenate(Ws)
+    C = np.concatenate(Cs)
+    while True:
+        try:
+            S2, P2, W2, C2 = _node_segments_impl(S, P, W, C, noding_max_iter)
+            break
+        except NodingErrorCells as e:
+            # UNIVERSE (-1) is never quarantined — same rule as overlay()
+            bad = [(c, p) for c, p in e.pairs if p >= 0]
+            if quarantine_of is None or not bad:
+                raise
+            for c, p in bad:
+                lst = quarantine_of.setdefault(items[c][0], [])
+                if p not in lst:
+                    lst.append(p)
+            drop = np.zeros(len(S), dtype=bool)
+            for c, p in bad:
+                drop |= (C == c) & (P == p)
+            S, P, W, C = S[~drop], P[~drop], W[~drop], C[~drop]
+            if not len(S):
+                return out
+    arr = Arrangement(S2, P2, W2, cell=C2)
+    winding = label_walks(arr)
+    edge_cell = arr.edge_cell
+    walk_cell = np.asarray(
+        [int(edge_cell[int(w[0]) // 2]) for w in arr.walks], np.int64)
+    worder = np.argsort(walk_cell, kind="stable")
+    wsorted = walk_cell[worder]
+    wbrk = np.nonzero(np.r_[True, wsorted[1:] != wsorted[:-1]])[0]
+    wend = np.r_[wbrk[1:], len(wsorted)]
+    eorder = np.argsort(edge_cell, kind="stable") if len(edge_cell) else edge_cell
+    esorted = edge_cell[eorder] if len(edge_cell) else edge_cell
+    for s, e in zip(wbrk, wend):
+        ci = int(wsorted[s])
+        wids = np.sort(worder[s:e])
+        el, eh = np.searchsorted(esorted, ci), np.searchsorted(esorted, ci, "right")
+        eids = np.sort(eorder[el:eh])
+        faces, _, adj = _assemble_faces(arr, winding, wids.tolist(),
+                                        eids.tolist(), with_adjacency)
+        out[items[ci][0]] = (faces, adj) if with_adjacency else faces
+    return out

@@ -42,13 +42,16 @@ UNIVERSE = -1  # poly id of the cell box in the overlay
 
 
 def default_cell_buckets(df) -> int:
-    """Cell-bucket count for the applyInPandas kernel stages: ~128 hash
-    groups per core keeps per-partition kernel CPU balanced (buckets are
-    nearly free — the kernel loops cells within a batch, so more buckets
-    only means more, smaller Arrow groups); scales with the cluster
-    instead of a local constant (r6 A/B at 32 cores: 256 -> 4096 buckets
-    cut the balanced detect stage 10.6 -> 6.4 s at sf0.1)."""
-    return max(4096, 128 * df.sparkSession.sparkContext.defaultParallelism)
+    """Cell-bucket count for the applyInPandas kernel stages: ~8 hash
+    groups per core — multiple cells per bucket so the BATCHED overlay
+    kernels (overlay_cells / the bucket dissolve) amortize their fixed
+    numpy phases across the batch, while 8 waves/core still give AQE
+    straggler smoothing.  Scales with the cluster, never a constant.
+    History: r6 measured 256 -> 4096 as a win for the PER-CELL kernels
+    (more AQE units); with the batched kernels the direction reverses
+    (resolve noop at sf0.1/32 cores: 4096 buckets 7.8 s -> 256 buckets
+    5.4 s), so the default follows the batched kernels."""
+    return max(64, 8 * df.sparkSession.sparkContext.defaultParallelism)
 
 
 # ------------------------------------------------------------ bounds stage
@@ -157,6 +160,25 @@ def _clip_to_cell(rings: list[np.ndarray], cxmin, cymin, cxmax, cymax) -> list[n
     return out
 
 
+def _cell_prep(pdf: pd.DataFrame, g: float):
+    """Snap + clip one cell's features and add the UNIVERSE cell box —
+    the shared front half of the per-cell and batched overlay kernels."""
+    cell = int(pdf["cell_id"].iloc[0])
+    xmin, ymin, xmax, ymax = grid.cell_bounds_np(np.array([cell], dtype=np.int64))
+    cxmin = int(np.floor(xmin[0] / g + 0.5)); cymin = int(np.floor(ymin[0] / g + 0.5))
+    cxmax = int(np.floor(xmax[0] / g + 0.5)); cymax = int(np.floor(ymax[0] / g + 0.5))
+    polys = []
+    for fid, geom in zip(pdf["fid"], pdf["geom"]):
+        for pid, rings in _snap_polys(int(fid), geom, g):
+            clipped = _clip_to_cell(rings, cxmin, cymin, cxmax, cymax)
+            if clipped:
+                polys.append((pid, clipped))
+    box = np.array([[cxmin, cymin], [cxmax, cymin], [cxmax, cymax], [cxmin, cymax]],
+                   dtype=np.int64)
+    polys.append((UNIVERSE, [box]))
+    return cell, (cxmin, cymin, cxmax, cymax), polys
+
+
 def _cell_faces(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
                 quarantine: list[int] | None = None) -> tuple[int, list[Face]] | None:
     """Shared kernel: snap + clip all features of one cell, overlay with the
@@ -220,18 +242,37 @@ def detect_all(features: DataFrame, cfg: EngineConfig, res: int = 6,
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        parts = [
-            _detect_one_cell(sub, cfg, res, g, with_geom)
-            for _, sub in pdf.groupby("cell_id", sort=True)
-        ]
-        parts = [p for p in parts if len(p)]  # pandas-3: no all-NA concat
-        if not parts:
-            return pd.DataFrame(
-                columns=["cell_id", "kind", "id_a", "id_b", "area",
-                         "touches_border", "geom"])
-        return pd.concat(parts, ignore_index=True)
+        return _detect_bucket(pdf, cfg, g, with_geom)
 
     return cells.groupBy("bucket").applyInPandas(kernel, DETECT_SCHEMA)
+
+
+def _detect_bucket(pdf: pd.DataFrame, cfg: EngineConfig, g: float,
+                   with_geom: bool = True) -> pd.DataFrame:
+    """Batched detect kernel: ONE noding/DCEL/labeling pass over every cell
+    of the bucket (overlay_cells) — exactly equal to per-cell overlays."""
+    from resolve_overlap_and_gap_spark.geom.arrangement import overlay_cells
+
+    preps = []
+    subs = []
+    for _, sub in pdf.groupby("cell_id", sort=True):
+        cell, box, polys = _cell_prep(sub, g)
+        preps.append((cell, polys))
+        subs.append((cell, box, sub))
+    q_of: dict = {}
+    faces_of = overlay_cells(preps, noding_max_iter=cfg.noding_max_iter,
+                             quarantine_of=q_of)
+    parts = [
+        _detect_rows(cell, box, faces_of[cell],
+                     sorted(q_of.get(cell, [])), sub, g, with_geom)
+        for cell, box, sub in subs
+    ]
+    parts = [p for p in parts if len(p)]  # pandas-3: no all-NA concat
+    if not parts:
+        return pd.DataFrame(
+            columns=["cell_id", "kind", "id_a", "id_b", "area",
+                     "touches_border", "geom"])
+    return pd.concat(parts, ignore_index=True)
 
 
 def _detect_one_cell(pdf: pd.DataFrame, cfg: EngineConfig, res: int, g: float,
@@ -241,6 +282,13 @@ def _detect_one_cell(pdf: pd.DataFrame, cfg: EngineConfig, res: int, g: float,
     xmin, ymin, xmax, ymax = grid.cell_bounds_np(np.array([cell], dtype=np.int64))
     cxmin = int(np.floor(xmin[0] / g + 0.5)); cymin = int(np.floor(ymin[0] / g + 0.5))
     cxmax = int(np.floor(xmax[0] / g + 0.5)); cymax = int(np.floor(ymax[0] / g + 0.5))
+    return _detect_rows(cell, (cxmin, cymin, cxmax, cymax), faces,
+                        quarantined, pdf, g, with_geom)
+
+
+def _detect_rows(cell: int, box: tuple, faces, quarantined, pdf: pd.DataFrame,
+                 g: float, with_geom: bool = True) -> pd.DataFrame:
+    cxmin, cymin, cxmax, cymax = box
     rows = []
     # non-convergent features are reported, not silently dropped (kind =
     # 'quarantined', id_a = feature id, geometry = the clipped input)
@@ -393,16 +441,9 @@ def detect_all_balanced(features: DataFrame, cfg: EngineConfig,
     cells = assigned.withColumn("bucket", F.pmod(F.hash("cell_id"), F.lit(n_buckets)))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        parts = []
-        for cid, sub in pdf.groupby("cell_id", sort=True):
-            r = int(grid.cell_res_np(np.array([cid], dtype=np.int64))[0])
-            parts.append(_detect_one_cell(sub, cfg, r, g, with_geom))
-        parts = [p for p in parts if len(p)]  # pandas-3: no all-NA concat
-        if not parts:
-            return pd.DataFrame(
-                columns=["cell_id", "kind", "id_a", "id_b", "area",
-                         "touches_border", "geom"])
-        return pd.concat(parts, ignore_index=True)
+        # the kernel is resolution-agnostic (cell bounds derive from the
+        # Morton id), so mixed-resolution balanced cells batch the same way
+        return _detect_bucket(pdf, cfg, g, with_geom)
 
     return cells.groupBy("bucket").applyInPandas(kernel, DETECT_SCHEMA)
 

@@ -32,7 +32,11 @@ from pyspark.sql import types as T
 
 from resolve_overlap_and_gap_spark.config import EngineConfig
 from resolve_overlap_and_gap_spark.geom import wkb
-from resolve_overlap_and_gap_spark.geom.arrangement import overlay, ring_is_valid
+from resolve_overlap_and_gap_spark.geom.arrangement import (
+    overlay,
+    overlay_cells,
+    ring_is_valid,
+)
 from resolve_overlap_and_gap_spark.operators.border import (
     merge_intervals,
     pack_intervals,
@@ -40,6 +44,7 @@ from resolve_overlap_and_gap_spark.operators.border import (
 )
 from resolve_overlap_and_gap_spark.operators.overlap_gap import (
     UNIVERSE,
+    _cell_prep,
     _clip_to_cell,
     _snap_polys,
     with_cells,
@@ -199,19 +204,7 @@ def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
     boundary-exchange pass (border_gap_merge), produced from the SAME
     overlay instead of a second full detection pass."""
     g = cfg.snap_tolerance
-    cell = int(pdf["cell_id"].iloc[0])
-    xmin, ymin, xmax, ymax = grid.cell_bounds_np(np.array([cell], dtype=np.int64))
-    cxmin = int(np.floor(xmin[0] / g + 0.5)); cymin = int(np.floor(ymin[0] / g + 0.5))
-    cxmax = int(np.floor(xmax[0] / g + 0.5)); cymax = int(np.floor(ymax[0] / g + 0.5))
-    polys = []
-    for fid, geom in zip(pdf["fid"], pdf["geom"]):
-        for pid, rings in _snap_polys(int(fid), geom, g):
-            clipped = _clip_to_cell(rings, cxmin, cymin, cxmax, cymax)
-            if clipped:
-                polys.append((pid, clipped))
-    box = np.array([[cxmin, cymin], [cxmax, cymin], [cxmax, cymax], [cxmin, cymax]],
-                   dtype=np.int64)
-    polys.append((UNIVERSE, [box]))
+    cell, (cxmin, cymin, cxmax, cymax), polys = _cell_prep(pdf, g)
     quarantined: list[int] = []
     faces, adj = overlay(
         polys,
@@ -222,6 +215,17 @@ def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
         noding_max_iter=cfg.noding_max_iter,
         quarantine=quarantined,
     )
+    return _cell_rows(cell, (cxmin, cymin, cxmax, cymax), polys, faces, adj,
+                      quarantined, pdf, cfg, emit_border_gaps, with_geom)
+
+
+def _cell_rows(cell: int, box: tuple, polys: list, faces, adj,
+               quarantined: list[int], pdf: pd.DataFrame, cfg: EngineConfig,
+               emit_border_gaps: bool, with_geom: bool) -> pd.DataFrame:
+    """Post-overlay half of the resolve kernel: sliver merge, owner
+    assignment, row emission (shared by the per-cell and batched paths)."""
+    g = cfg.snap_tolerance
+    cxmin, cymin, cxmax, cymax = box
     # payload pass-through (reference column_data_as_json,
     # function_resolve_overlap_gap_init.sql:249): the OWNER's record rides
     # through the kernel, no post-resolve attribute re-join needed
@@ -319,10 +323,37 @@ def _cell_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
 def _bucket_kernel(pdf: pd.DataFrame, cfg: EngineConfig, res: int,
                    emit_border_gaps: bool = False,
                    with_geom: bool = True) -> pd.DataFrame:
+    if cfg.simplify_tolerance > 0 or cfg.chaikins_iterations > 0:
+        # simplify/Chaikin operate on per-cell chains — per-cell overlays
+        parts = [
+            _cell_kernel(sub, cfg, res, emit_border_gaps, with_geom)
+            for _, sub in pdf.groupby("cell_id", sort=True)
+        ]
+        return _concat_parts(parts, pdf)
+    # batched path: ONE noding/DCEL/labeling pass over every cell of the
+    # bucket (overlay_cells), exactly equal to per-cell overlays — the
+    # fixed numpy cost per phase amortizes over all cells in the batch
+    g = cfg.snap_tolerance
+    preps = []
+    subs = []
+    for _, sub in pdf.groupby("cell_id", sort=True):
+        cell, box, polys = _cell_prep(sub, g)
+        preps.append((cell, polys))
+        subs.append((cell, box, polys, sub))
+    q_of: dict = {}
+    faces_of = overlay_cells(preps, with_adjacency=True,
+                             noding_max_iter=cfg.noding_max_iter,
+                             quarantine_of=q_of)
     parts = [
-        _cell_kernel(sub, cfg, res, emit_border_gaps, with_geom)
-        for _, sub in pdf.groupby("cell_id", sort=True)
+        _cell_rows(cell, box, polys, *faces_of[cell],
+                   sorted(q_of.get(cell, [])), sub, cfg,
+                   emit_border_gaps, with_geom)
+        for cell, box, polys, sub in subs
     ]
+    return _concat_parts(parts, pdf)
+
+
+def _concat_parts(parts: list[pd.DataFrame], pdf: pd.DataFrame) -> pd.DataFrame:
     # empty frames out of concat: all-NA columns poison dtypes under
     # pandas >= 2.1 (FutureWarning, dtype change in 3.x)
     parts = [p for p in parts if len(p)]
