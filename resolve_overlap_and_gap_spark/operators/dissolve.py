@@ -336,11 +336,22 @@ def dissolve(df: DataFrame, key_col: str, grid_size: float,
     groups per core — the same straggler-balance rule as the cell
     kernels)."""
     if n_buckets is None:
-        from resolve_overlap_and_gap_spark.operators.overlap_gap import (
-            default_cell_buckets,
-        )
+        if disjoint:
+            # batched kernel (one arrangement pass per bucket): fewer,
+            # larger buckets amortize the batch — same rule as the cell
+            # kernels (default_cell_buckets)
+            from resolve_overlap_and_gap_spark.operators.overlap_gap import (
+                default_cell_buckets,
+            )
 
-        n_buckets = default_cell_buckets(df)
+            n_buckets = default_cell_buckets(df)
+        else:
+            # per-key kernel: bucket count only balances keys across
+            # tasks — many buckets avoid hash-collision serialization of
+            # unrelated keys (100 dissolve groups in 256 buckets collide
+            # ~17% of the time; in 4096, <2%)
+            sc = df.sparkSession.sparkContext
+            n_buckets = max(4096, 128 * sc.defaultParallelism)
     slim = df.select(
         F.col(key_col).cast("long").alias("key"), F.col(geom_col).alias("geom")
     )
