@@ -155,6 +155,32 @@ def _bbox_pairs_binned(S, x1, y1, x2, y2) -> tuple[np.ndarray, np.ndarray]:
     return I[ok], J[ok]
 
 
+def _unique_rows(pts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """np.unique(pts, axis=0, return_inverse=True) with an order-preserving
+    int64 packing fast path — the void-view axis-0 unique is ~6x slower on
+    the DCEL's node table.  2-col rows pack when |x|,|y| < 2^30; 3-col
+    (cell, x, y) rows when cell < 512 and |x|,|y| < 2^26 (grid coordinates
+    are ~3.6e7 < 2^26 world-wide); anything else falls back.  Packing is
+    monotone in the lexicographic row order, so the sorted-unique output
+    and inverse indices are identical to the generic path."""
+    nc = pts.shape[1]
+    if nc == 2:
+        x, y = pts[:, 0], pts[:, 1]
+        if (np.abs(x) < (1 << 30)).all() and (np.abs(y) < (1 << 30)).all():
+            key = ((x + (1 << 30)) << 31) | (y + (1 << 30))
+            _, idx, inv = np.unique(key, return_index=True, return_inverse=True)
+            return pts[idx], inv
+    elif nc == 3:
+        c, x, y = pts[:, 0], pts[:, 1], pts[:, 2]
+        if ((len(c) == 0 or int(c.max()) < 512)
+                and (np.abs(x) < (1 << 26)).all()
+                and (np.abs(y) < (1 << 26)).all()):
+            key = (c << 54) | ((x + (1 << 26)) << 27) | (y + (1 << 26))
+            _, idx, inv = np.unique(key, return_index=True, return_inverse=True)
+            return pts[idx], inv
+    return np.unique(pts, axis=0, return_inverse=True)
+
+
 def _cross(ox, oy, ax, ay, bx, by) -> int:
     return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
 
@@ -483,7 +509,7 @@ class Arrangement:
             pts = np.stack([np.concatenate([fx, tx]),
                             np.concatenate([fy, ty])], axis=1)
         if len(pts):
-            uniq, inv = np.unique(pts, axis=0, return_inverse=True)
+            uniq, inv = _unique_rows(pts)
         else:
             uniq = np.empty((0, pts.shape[1]), np.int64)
             inv = np.empty(0, np.int64)
@@ -659,42 +685,58 @@ def label_walks(arr: Arrangement) -> list[dict[int, int]]:
     acc_c: list[np.ndarray] = []; acc_p: list[np.ndarray] = []
     acc_v: list[np.ndarray] = []
     # cell-tagged arrangements: an anchor's ray may only cross edges of its
-    # OWN cell (cells are independent; a per-cell run would see no others)
+    # OWN cell (cells are independent; a per-cell run would see no others).
+    # Anchors are processed per CELL against that cell's contiguous edge
+    # slice (edges are (cell, coords)-sorted), so the mask work is
+    # sum-over-cells of C_cell x E_cell — never components x ALL edges,
+    # which would grow quadratically with cells per bucket.
     acell = (arr.node_cell[anchor_nodes]
              if getattr(arr, "node_cell", None) is not None and len(anchor_nodes)
              else None)
+    if acell is not None:
+        # anchors are in ascending node id = (cell, x, y) order, so acell
+        # is nondecreasing: cell groups are contiguous slices
+        abrk = np.nonzero(np.r_[True, acell[1:] != acell[:-1]])[0]
+        aend = np.r_[abrk[1:], len(acell)]
+        spans = [(int(s), int(e),
+                  int(np.searchsorted(arr.edge_cell, acell[s])),
+                  int(np.searchsorted(arr.edge_cell, acell[s], "right")))
+                 for s, e in zip(abrk, aend)]
+    else:
+        spans = [(0, len(cids), 0, len(E))]
     CH = 256
-    for i0 in range(0, len(cids), CH):
-        py = axy[i0:i0 + CH, 1][:, None]
-        # cheap boolean y-interval + own-component mask first; the int64
-        # cross-multiplied predicate is evaluated only on surviving pairs
-        m = (elo[None, :] <= py) & (py < ehi[None, :])
-        m &= comp_of_edge[None, :] != cids[i0:i0 + CH][:, None]
-        if acell is not None:
-            m &= arr.edge_cell[None, :] == acell[i0:i0 + CH][:, None]
-        ai, ei = np.nonzero(m)
-        if len(ai):
-            pxs = axy[i0 + ai, 0]; pys = axy[i0 + ai, 1]
-            num = (pys - ey1[ei]) * (ex2[ei] - ex1[ei])
-            rhs = (pxs - ex1[ei]) * eden[ei]
-            ok = np.where(eden[ei] > 0, num < rhs, num > rhs)
-            ai, ei = ai[ok], ei[ok]
-        if len(ai):
-            # expand each crossing to its edge's net entries:
-            # p is on the RIGHT of an upward edge crossed to its left:
-            # w(right) = w(left) - net
-            st = net_st[ei]
-            cnt = net_len[ei]
-            tot = int(cnt.sum())
-            if tot:
-                src = np.repeat(st, cnt) + (
-                    np.arange(tot) - np.repeat(
-                        np.concatenate(([0], np.cumsum(cnt)))[:-1], cnt))
-                e_rep = np.repeat(ei, cnt)
-                acc_c.append(np.repeat(i0 + ai, cnt))
-                acc_p.append(net_p[src])
-                acc_v.append(np.where(eup[e_rep], -net_n[src], net_n[src]))
-        del m
+    for a0, a1, e0, e1 in spans:
+        for i0 in range(a0, a1, CH):
+            i1 = min(i0 + CH, a1)
+            py = axy[i0:i1, 1][:, None]
+            # cheap boolean y-interval + own-component mask first; the int64
+            # cross-multiplied predicate is evaluated only on survivors
+            m = (elo[None, e0:e1] <= py) & (py < ehi[None, e0:e1])
+            m &= comp_of_edge[None, e0:e1] != cids[i0:i1][:, None]
+            ai, ei = np.nonzero(m)
+            ei = ei + e0
+            if len(ai):
+                pxs = axy[i0 + ai, 0]; pys = axy[i0 + ai, 1]
+                num = (pys - ey1[ei]) * (ex2[ei] - ex1[ei])
+                rhs = (pxs - ex1[ei]) * eden[ei]
+                ok = np.where(eden[ei] > 0, num < rhs, num > rhs)
+                ai, ei = ai[ok], ei[ok]
+            if len(ai):
+                # expand each crossing to its edge's net entries:
+                # p is on the RIGHT of an upward edge crossed to its left:
+                # w(right) = w(left) - net
+                st = net_st[ei]
+                cnt = net_len[ei]
+                tot = int(cnt.sum())
+                if tot:
+                    src = np.repeat(st, cnt) + (
+                        np.arange(tot) - np.repeat(
+                            np.concatenate(([0], np.cumsum(cnt)))[:-1], cnt))
+                    e_rep = np.repeat(ei, cnt)
+                    acc_c.append(np.repeat(i0 + ai, cnt))
+                    acc_p.append(net_p[src])
+                    acc_v.append(np.where(eup[e_rep], -net_n[src], net_n[src]))
+            del m
     if acc_c:
         cc = np.concatenate(acc_c); pp = np.concatenate(acc_p)
         vv = np.concatenate(acc_v)

@@ -438,7 +438,8 @@ def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
                      res: int = 8, border_gaps: DataFrame | None = None,
                      checkpoint: bool = True,
                      dissolve_disjoint: bool = False,
-                     dissolve_geom: bool = True) -> DataFrame:
+                     dissolve_geom: bool = True,
+                     piece_res: list[int] | None = None) -> DataFrame:
     """-> (owner, area, geom) — the final healed layer.
 
     features: the ORIGINAL polygon layer (fid, geom) — used to detect gaps
@@ -460,6 +461,10 @@ def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
     re-emit the healed geometry (the benched resolve_healed emits
     owner/area/n_parts only) can run the bucket-batched union and skip
     the WKB dumps; defaults keep the exact per-key path with geometry.
+    piece_res: the distinct cell resolutions present in `pieces` when the
+    caller knows them (fixed-res resolve: [res]) — skips a distinct+collect
+    over the pieces table; None derives them from the data (balanced
+    resolve emits mixed resolutions).
     """
     g = cfg.snap_tolerance
     spark = pieces.sparkSession
@@ -532,9 +537,11 @@ def border_gap_merge(features: DataFrame, pieces: DataFrame, cfg: EngineConfig,
         "gap_area",
         F.col("geom").alias("gap_geom"),
     ).localCheckpoint()
-    res_col = F.shiftrightunsigned(F.col("cell_id"), grid.RES_SHIFT).bitwiseAND(F.lit(0x1F))
-    piece_res = sorted(int(r.r) for r in
-                       pieces.select(res_col.alias("r")).distinct().collect())
+    if piece_res is None:
+        res_col = F.shiftrightunsigned(
+            F.col("cell_id"), grid.RES_SHIFT).bitwiseAND(F.lit(0x1F))
+        piece_res = sorted(int(r.r) for r in
+                           pieces.select(res_col.alias("r")).distinct().collect())
     if not piece_res:
         piece_res = [res]  # no pieces at all: keep the join shape (empty)
     sl_in = (sl_df.withColumnRenamed("gap_geom", "geom")

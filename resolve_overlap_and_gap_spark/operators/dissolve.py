@@ -336,22 +336,18 @@ def dissolve(df: DataFrame, key_col: str, grid_size: float,
     groups per core — the same straggler-balance rule as the cell
     kernels)."""
     if n_buckets is None:
-        if disjoint:
-            # batched kernel (one arrangement pass per bucket): fewer,
-            # larger buckets amortize the batch — same rule as the cell
-            # kernels (default_cell_buckets)
-            from resolve_overlap_and_gap_spark.operators.overlap_gap import (
-                default_cell_buckets,
-            )
-
-            n_buckets = default_cell_buckets(df)
-        else:
-            # per-key kernel: bucket count only balances keys across
-            # tasks — many buckets avoid hash-collision serialization of
-            # unrelated keys (100 dissolve groups in 256 buckets collide
-            # ~17% of the time; in 4096, <2%)
-            sc = df.sparkSession.sparkContext
-            n_buckets = max(4096, 128 * sc.defaultParallelism)
+        # MANY buckets for both dissolve paths.  Per-key path: buckets only
+        # balance keys across tasks, and 100 groups in 256 buckets collide
+        # ~17% of the time (serializing unrelated keys) vs <2% in 4096.
+        # Disjoint path: the bucket's shared arrangement pays a
+        # components x edges anchor ray-cast — both grow with bucket
+        # content, so the per-bucket cost is QUADRATIC in bucket size
+        # (measured 32x bucket content -> ~200x kernel time); small buckets
+        # keep it linear in total data at fixed bucket count.  The 8/core
+        # rule is only for overlay_cells kernels, whose ray-casts are
+        # cell-sliced.
+        sc = df.sparkSession.sparkContext
+        n_buckets = max(4096, 128 * sc.defaultParallelism)
     slim = df.select(
         F.col(key_col).cast("long").alias("key"), F.col(geom_col).alias("geom")
     )

@@ -1122,7 +1122,8 @@ def q_resolve_healed(spark: SparkSession, sf_dir: str) -> DataFrame:
     healed = border_gap_merge(layer, pieces, cfg, res=res,
                               border_gaps=border_gaps_from_resolve(both),
                               checkpoint=False,
-                              dissolve_disjoint=True, dissolve_geom=False)
+                              dissolve_disjoint=True, dissolve_geom=False,
+                              piece_res=[res])  # fixed-res resolve: known
     return healed.select(
         "owner",
         F.expr("cast(floor(area * 1e9) as bigint)").alias("area_x1e9"),

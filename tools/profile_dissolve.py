@@ -47,7 +47,10 @@ def main() -> None:
         "cell_id", "owner", "geom").localCheckpoint()
     pieces = both.where(F.col("owner") >= 0).select(
         F.col("owner").cast("long").alias("key"), "geom")
-    n_buckets = default_cell_buckets(pieces)
+    # match dissolve()'s own bucket rule (many small buckets — the shared
+    # arrangement's ray-cast is quadratic in bucket content)
+    n_buckets = max(4096,
+                    128 * spark.sparkContext.defaultParallelism)
     pdf = pieces.withColumn(
         "bucket", F.pmod(F.hash("key"), F.lit(n_buckets))
     ).where(F.col("bucket") < n_sample).toPandas()
