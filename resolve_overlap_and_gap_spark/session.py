@@ -25,9 +25,11 @@ def get_spark(
         # 8 tasks/core smooths stragglers in the CPU-bound Arrow kernel
         # stages (r5 A/B at 32 cores: 2x -> 4x cut detect+resolve 107s ->
         # 89s; r6 A/B: 4x -> 8x cut the balanced detect kernel stage
-        # 10.6 -> 6.4 s at sf0.1 with 4096 cell buckets); AQE coalesces
-        # back down for byte-light JVM stages.  Stays proportional to the
-        # core count, never a constant.
+        # 10.6 -> 6.4 s at sf0.1; re-A/B'd against 4x under the batched
+        # overlay kernels, where halving partitions halves kernel-stage
+        # parallelism: detect_balanced 4.5 -> 8.2 s).  AQE coalesces back
+        # down for byte-light JVM stages.  Stays proportional to the core
+        # count, never a constant.
         shuffle_partitions = 8 * parallelism
     b = (
         SparkSession.builder.master(f"local[{parallelism}]")
