@@ -35,11 +35,18 @@ def dump_linestring(coords: np.ndarray) -> bytes:
 def dump_polygon(rings: list[np.ndarray]) -> bytes:
     out = [_HDR.pack(1, POLYGON), _U32.pack(len(rings))]
     for r in rings:
-        r = np.asarray(r, dtype="<f8")
-        if len(r) == 0 or not np.array_equal(r[0], r[-1]):
-            r = np.vstack([r, r[:1]])  # close ring
-        out.append(_U32.pack(len(r)))
-        out.append(np.ascontiguousarray(r).tobytes())
+        r = np.ascontiguousarray(r, dtype="<f8")
+        n = len(r)
+        if n == 0:
+            out.append(_U32.pack(0))
+            continue
+        if r[0, 0] == r[-1, 0] and r[0, 1] == r[-1, 1]:  # already closed
+            out.append(_U32.pack(n))
+            out.append(r.tobytes())
+        else:  # close the ring: same bytes as appending the first vertex
+            out.append(_U32.pack(n + 1))
+            out.append(r.tobytes())
+            out.append(r[:1].tobytes())
     return b"".join(out)
 
 
